@@ -1,0 +1,109 @@
+"""Network shape tests.
+
+Mirrors reference ``tests/test_nets.py`` / ``tests/test_forward.py``:
+build each backbone tiny, assert head output shapes
+``(B, n_fields, n_components, H, W)`` against stride arithmetic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import openpifpaf_tpu as opt
+from openpifpaf_tpu import headmeta, models
+from openpifpaf_tpu.plugins.coco import constants
+
+
+def _coco_metas():
+    cif = headmeta.Cif('cif', 'cocokp',
+                       keypoints=constants.COCO_KEYPOINTS,
+                       sigmas=constants.COCO_PERSON_SIGMAS,
+                       pose=constants.COCO_UPRIGHT_POSE,
+                       draw_skeleton=constants.COCO_PERSON_SKELETON,
+                       score_weights=constants.COCO_PERSON_SCORE_WEIGHTS)
+    caf = headmeta.Caf('caf', 'cocokp',
+                       keypoints=constants.COCO_KEYPOINTS,
+                       sigmas=constants.COCO_PERSON_SIGMAS,
+                       pose=constants.COCO_UPRIGHT_POSE,
+                       skeleton=constants.COCO_PERSON_SKELETON)
+    return [cif, caf]
+
+
+def test_headmeta_channel_math():
+    cif, caf = _coco_metas()
+    assert cif.n_fields == 17
+    assert cif.n_components == 1 + 3 * 1 + 1  # conf, x, y, b, scale
+    assert caf.n_fields == 19
+    assert caf.n_components == 1 + 3 * 2 + 2  # conf, 2*(x,y,b), 2 scales
+
+
+@pytest.mark.parametrize('basenet_name', ['shufflenetv2k16', 'resnet50'])
+def test_forward_shapes(basenet_name):
+    factory = models.Factory(base_name=basenet_name, bf16=False)
+    metas = _coco_metas()
+    model = factory.from_scratch(basenet_name, metas)
+    model.init(jax.random.key(0), input_hw=(65, 97))
+
+    x = jnp.zeros((2, 65, 97, 3), jnp.float32)
+    outputs = model(x)
+    assert len(outputs) == 2
+
+    stride = model.base_stride
+    fh, fw = (65 - 1) // stride + 1, (97 - 1) // stride + 1
+    assert outputs[0].shape == (2, 17, 5, fh, fw)
+    assert outputs[1].shape == (2, 19, 9, fh, fw)
+    assert outputs[0].dtype == jnp.float32
+
+
+def test_field_split_activations():
+    cif, _ = _coco_metas()
+    cif.base_stride = 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 17, 5, 5, 7)), jnp.float32)
+    comp = models.split_fields(x, cif)
+    assert comp.conf.shape == (2, 17, 5, 7)
+    assert comp.vec.shape == (2, 17, 1, 2, 5, 7)
+    assert comp.spread.shape == (2, 17, 1, 5, 7)
+    assert comp.scale.shape == (2, 17, 1, 5, 7)
+    assert float(comp.conf.min()) >= 0.0 and float(comp.conf.max()) <= 1.0
+    assert float(comp.spread.min()) > 0.0
+    assert float(comp.scale.min()) >= 0.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    factory = models.Factory(base_name='shufflenetv2k16', bf16=False)
+    metas = _coco_metas()
+    model = factory.from_scratch('shufflenetv2k16', metas)
+    model.init(jax.random.key(0))
+
+    path = str(tmp_path / 'model.npz')
+    models.checkpoint.save(
+        path, variables=jax.tree.map(np.asarray, model.variables),
+        head_metas=model.head_metas, basenet_name='shufflenetv2k16',
+        base_stride=16, epoch=7)
+
+    header, variables = models.checkpoint.load(path)
+    assert header['epoch'] == 7
+    assert header['basenet'] == 'shufflenetv2k16'
+    assert len(header['head_metas']) == 2
+    assert header['head_metas'][0].keypoints == constants.COCO_KEYPOINTS
+
+    flat_a = models.checkpoint.flatten_tree(jax.tree.map(np.asarray, model.variables))
+    flat_b = models.checkpoint.flatten_tree(variables)
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+
+def test_channel_shuffle_matches_torch_semantics():
+    from openpifpaf_tpu.models.shufflenetv2k import channel_shuffle
+    x = jnp.arange(8, dtype=jnp.float32).reshape(1, 1, 1, 8)
+    out = channel_shuffle(x, 2)
+    # torch: view(g=2, c=4).transpose -> [0, 4, 1, 5, 2, 6, 3, 7]
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(-1), [0, 4, 1, 5, 2, 6, 3, 7])
+
+
+def test_version():
+    assert opt.__version__
