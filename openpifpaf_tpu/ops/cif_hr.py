@@ -1,0 +1,101 @@
+"""CifHr: high-resolution confidence accumulation — as MXU matmuls.
+
+Reference parity: ``src/openpifpaf/csrc/src/decoder/utils/cif_hr.cpp:~20``:
+every CIF cell above ``v_threshold`` splats a truncated Gaussian blob,
+centered at its regressed target (image px) and with width proportional to
+its predicted scale, into a high-resolution accumulator; the accumulated
+value is clipped at 1.0.
+
+TPU-first redesign: the reference scatters sequentially per cell.  A 2D
+Gaussian is separable, so the whole accumulation is two dense contractions:
+
+    hr[f, Y, X] = clip( sum_c  v_c * gy[c, Y] * gx[c, X], 0, 1 )
+
+with ``gy``/``gx`` the per-cell 1D Gaussian row/column profiles.  The
+contraction over cells ``c`` runs on the MXU (einsum), no scatter at all.
+Per-add clipping in the reference is equivalent to clip-after-sum because
+contributions are non-negative and the clip bound is constant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class CifHrConfig:
+    """Static configuration (reference static class attrs, cif_hr.hpp)."""
+
+    v_threshold: float = 0.1     # min cell confidence to splat
+    neighbor_factor: float = 1.0 / 16.0  # 1/(#painted cells per keypoint)
+    min_sigma_px: float = 1.0    # lower bound on blob sigma (px)
+    sigma_factor: float = 0.5    # sigma = sigma_factor * predicted scale
+    truncate: float = 1.0        # truncate blob at truncate * sigma
+    spacing: int = 2             # hires grid spacing in px ("stride/2 res")
+    min_scale: float = 0.0       # skip cells with predicted scale below this
+
+
+def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
+               scale_px: jnp.ndarray, *, out_hw, config: CifHrConfig,
+               extra_mask: jnp.ndarray = None) -> jnp.ndarray:
+    """Accumulate one CIF head into a hires grid.
+
+    :param conf: (F, H, W) cell confidences in [0, 1]
+    :param x_px, y_px: (F, H, W) regressed absolute target positions, px
+    :param scale_px: (F, H, W) predicted keypoint scale, px
+    :param out_hw: (Hh, Wh) hires grid size (static)
+    :returns: (F, Hh, Wh) accumulated confidence in [0, 1]
+    """
+    hh, wh = out_hw
+    f, h, w = conf.shape
+    n = h * w
+
+    mask = conf > config.v_threshold
+    if config.min_scale > 0.0:
+        mask = mask & (scale_px >= config.min_scale)
+    if extra_mask is not None:
+        mask = mask & extra_mask
+
+    v = jnp.where(mask, conf * config.neighbor_factor, 0.0).reshape(f, n)
+    x = x_px.reshape(f, n)
+    y = y_px.reshape(f, n)
+    sigma = jnp.maximum(config.min_sigma_px,
+                        config.sigma_factor * scale_px).reshape(f, n)
+
+    # 1D Gaussian profiles against hires coordinates (in px)
+    xs = jnp.arange(wh, dtype=jnp.float32) * config.spacing  # (Wh,)
+    ys = jnp.arange(hh, dtype=jnp.float32) * config.spacing  # (Hh,)
+
+    dx = xs[None, None, :] - x[:, :, None]                   # (F, N, Wh)
+    dy = ys[None, None, :] - y[:, :, None]                   # (F, N, Hh)
+    inv2s2 = 0.5 / (sigma * sigma)
+    trunc = config.truncate * sigma
+    gx = jnp.exp(-dx * dx * inv2s2[:, :, None])
+    gx = jnp.where(jnp.abs(dx) <= trunc[:, :, None], gx, 0.0)
+    gy = jnp.exp(-dy * dy * inv2s2[:, :, None])
+    gy = jnp.where(jnp.abs(dy) <= trunc[:, :, None], gy, 0.0)
+
+    # fold the value into the row profile, then contract over cells on MXU
+    gy = gy * v[:, :, None]
+    hr = jnp.einsum('fny,fnx->fyx', gy, gx,
+                    preferred_element_type=jnp.float32)
+    return jnp.clip(hr, 0.0, 1.0)
+
+
+def accumulate_from_fields(components, *, stride: int, out_hw,
+                           config: CifHrConfig) -> jnp.ndarray:
+    """Convenience: accumulate from a FieldComponents view (single image).
+
+    components.conf: (F, H, W); vec: (F, 1, 2, H, W); scale: (F, 1, H, W) —
+    offsets/scales in feature-cell units, converted here to px.
+    """
+    f, h, w = components.conf.shape
+    jj = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    ii = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    x_px = (ii + components.vec[:, 0, 0]) * stride
+    y_px = (jj + components.vec[:, 0, 1]) * stride
+    scale_px = components.scale[:, 0] * stride
+    return accumulate(components.conf, x_px, y_px, scale_px,
+                      out_hw=out_hw, config=config)

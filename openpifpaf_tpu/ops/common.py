@@ -1,0 +1,69 @@
+"""Shared decoder primitives: grid lookups, masked top-k.
+
+All decoder ops work on a single image and are batched with ``jax.vmap``;
+every shape is static (jit-compatible).  Coordinates are in image pixels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def lookup_bilinear(grid: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                    spacing: float = 1.0) -> jnp.ndarray:
+    """Bilinear lookup of ``grid`` (Hg, Wg) at pixel coords (x, y).
+
+    ``spacing`` is the grid cell size in pixels.  Out-of-bounds coordinates
+    are clamped (same behavior as the reference decoder's clipped reads,
+    ``csrc`` clip helpers).
+    """
+    hg, wg = grid.shape[-2], grid.shape[-1]
+    gx = jnp.clip(x / spacing, 0.0, wg - 1.0)
+    gy = jnp.clip(y / spacing, 0.0, hg - 1.0)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, wg - 1)
+    y1 = jnp.minimum(y0 + 1, hg - 1)
+    fx = gx - x0
+    fy = gy - y0
+    v00 = grid[..., y0, x0]
+    v01 = grid[..., y0, x1]
+    v10 = grid[..., y1, x0]
+    v11 = grid[..., y1, x1]
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+
+
+def gather_field(grids: jnp.ndarray, f: jnp.ndarray, x: jnp.ndarray,
+                 y: jnp.ndarray, spacing: float = 1.0) -> jnp.ndarray:
+    """Bilinear lookup with a per-point field index.
+
+    grids: (F, Hg, Wg); f, x, y: any broadcast-compatible shape -> same shape.
+    """
+    hg, wg = grids.shape[-2], grids.shape[-1]
+    gx = jnp.clip(x / spacing, 0.0, wg - 1.0)
+    gy = jnp.clip(y / spacing, 0.0, hg - 1.0)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, wg - 1)
+    y1 = jnp.minimum(y0 + 1, hg - 1)
+    fx = gx - x0
+    fy = gy - y0
+    v00 = grids[f, y0, x0]
+    v01 = grids[f, y0, x1]
+    v10 = grids[f, y1, x0]
+    v11 = grids[f, y1, x1]
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+
+
+def masked_top_k(values: jnp.ndarray, mask: jnp.ndarray, k: int):
+    """Top-k of ``values`` where ``mask`` (flat input).
+
+    Returns (values_k, indices_k, valid_k); invalid slots have value -inf.
+    """
+    neg = jnp.finfo(jnp.float32).min
+    masked = jnp.where(mask, values.astype(jnp.float32), neg)
+    vals, idx = jax.lax.top_k(masked, k)
+    return vals, idx, vals > neg * 0.5

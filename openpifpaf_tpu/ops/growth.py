@@ -1,0 +1,306 @@
+"""Pose growth: data-parallel frontier relaxation.
+
+Reference parity: ``src/openpifpaf/csrc/src/decoder/cifcaf.cpp`` — the
+greedy ``_grow()`` (``:~220``): a priority queue of frontier connections;
+repeatedly pop the best (placed joint -> missing neighbor), find the best
+CAF association near the placed joint (Gaussian-weighted by distance,
+top-two blend, reverse-match confirmation, ``:~300``), place the joint if
+above threshold, push new frontier edges.
+
+TPU-first redesign: all poses grow **simultaneously**.  Each round computes,
+for every pose and every directed skeleton edge with exactly one placed
+endpoint, the best association candidate; each pose then places its single
+best frontier joint (equivalent to one priority-queue pop per pose).  K-1
+fixed rounds bound the depth, so the whole decode is one jit-compiled
+program with static shapes — no host round-trip, no queue.
+
+Sequencing deviation from the reference (documented in SURVEY.md §7 "hard
+parts"): the reference grows poses one seed at a time with a shared
+occupancy map; here poses grow independently and duplicates are removed by
+the vectorized keypoint NMS afterwards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .caf_scored import CafCandidates
+from .seeds import Seeds
+
+
+@dataclasses.dataclass(frozen=True)
+class GrowthConfig:
+    keypoint_threshold: float = 0.15      # reference CifCaf::keypoint_threshold
+    keypoint_threshold_rel: float = 0.5   # relative to the source joint v
+    filter_factor: float = 2.0            # candidate filter radius = f * sigma
+    gauss_denom: float = 0.25             # w = exp(-0.5 d2 / (gd * sigma^2))
+    blend_min: float = 0.01               # second candidate min score to blend
+    min_xy_scale: float = 2.0             # floor for sigma, px
+    reverse_match: bool = True
+    connection_blend: bool = True         # --connection-method=blend|max
+    max_poses: int = 96
+    seed_dedup_radius: float = 4.0        # px floor for seed suppression
+    seed_dedup_scale: float = 0.5         # radius = max(floor, f * seed scale)
+    force_complete: bool = False          # relaxed second pass
+    force_complete_threshold: float = 0.001
+
+
+class DirectedEdges(NamedTuple):
+    """Static directed-edge tables derived from a skeleton. Q = 2E."""
+
+    src_kp: np.ndarray   # (Q,) keypoint index of the placed (source) end
+    tgt_kp: np.ndarray   # (Q,) keypoint index of the missing (target) end
+    edge: np.ndarray     # (Q,) edge index e
+    direction: np.ndarray  # (Q,) 0 = walk 1->2, 1 = walk 2->1
+
+
+def directed_edges(skeleton: np.ndarray) -> DirectedEdges:
+    """skeleton: (E, 2) 0-based. Directed index q = 2*e + d (so the reverse
+    of q is q ^ 1)."""
+    skeleton = np.asarray(skeleton, dtype=np.int32)
+    e = skeleton.shape[0]
+    src = np.empty(2 * e, np.int32)
+    tgt = np.empty(2 * e, np.int32)
+    edge = np.repeat(np.arange(e, dtype=np.int32), 2)
+    direction = np.tile(np.array([0, 1], np.int32), e)
+    src[0::2] = skeleton[:, 0]
+    tgt[0::2] = skeleton[:, 1]
+    src[1::2] = skeleton[:, 1]
+    tgt[1::2] = skeleton[:, 0]
+    return DirectedEdges(src, tgt, edge, direction)
+
+
+def init_poses(seeds: Seeds, *, n_keypoints: int,
+               config: GrowthConfig) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                              jnp.ndarray, jnp.ndarray]:
+    """Seed dedup + pose initialization.
+
+    Approximates the reference's occupancy check at seed consumption
+    (``cifcaf.cpp:~140``): a seed is suppressed when a stronger seed of the
+    same field lies within its dedup radius.  Returns
+    (poses (P,K,4) [x,y,v,scale], placed (P,K), pose_valid (P,), seed_v (P,)).
+    """
+    s = seeds.v.shape[0]
+    r = jnp.maximum(config.seed_dedup_radius,
+                    config.seed_dedup_scale * seeds.s)  # (S,) radius of each seed
+    dx = seeds.x[None, :] - seeds.x[:, None]
+    dy = seeds.y[None, :] - seeds.y[:, None]
+    d2 = dx * dx + dy * dy
+    same_field = seeds.f[None, :] == seeds.f[:, None]
+    # seeds are sorted descending by v: j suppresses i when j < i
+    stronger = jnp.arange(s)[None, :] < jnp.arange(s)[:, None]
+    rr = jnp.maximum(r[None, :], r[:, None])
+    suppressed = jnp.any(
+        same_field & stronger & (d2 < rr * rr)
+        & seeds.valid[None, :], axis=1)
+    keep = seeds.valid & ~suppressed
+
+    # compact the kept seeds to the front, capped at max_poses
+    order = jnp.argsort(jnp.where(keep, -seeds.v, jnp.inf))[:config.max_poses]
+    p = config.max_poses
+    k = n_keypoints
+    sel_valid = keep[order]
+    f = seeds.f[order]
+    poses = jnp.zeros((p, k, 4), jnp.float32)
+    rows = jnp.arange(p)
+    poses = poses.at[rows, f, 0].set(jnp.where(sel_valid, seeds.x[order], 0.0))
+    poses = poses.at[rows, f, 1].set(jnp.where(sel_valid, seeds.y[order], 0.0))
+    poses = poses.at[rows, f, 2].set(jnp.where(sel_valid, seeds.v[order], 0.0))
+    poses = poses.at[rows, f, 3].set(jnp.where(sel_valid, seeds.s[order], 0.0))
+    placed = jnp.zeros((p, k), bool).at[rows, f].set(sel_valid)
+    return poses, placed, sel_valid, jnp.where(sel_valid, seeds.v[order], 0.0)
+
+
+def _connection_values(poses, placed, pose_valid, cand: CafCandidates,
+                       edges: DirectedEdges, config: GrowthConfig,
+                       keypoint_threshold: float, reverse_match: bool):
+    """Best association per (pose, directed edge).
+
+    Returns value (P,Q), target x/y/scale (P,Q), new joint score (P,Q).
+    Mirrors ``grow_connection_blend`` + reverse match
+    (``cifcaf.cpp:~220..~330``).
+    """
+    e2 = edges.src_kp.shape[0]
+    # directed candidate tensors (Q, C)
+    def dirview(a):
+        return a[edges.edge, edges.direction]
+    c_score = dirview(cand.score)
+    c_xs = dirview(cand.x_src)
+    c_ys = dirview(cand.y_src)
+    c_xt = dirview(cand.x_tgt)
+    c_yt = dirview(cand.y_tgt)
+    c_st = dirview(cand.s_tgt)
+    c_valid = dirview(cand.valid)
+
+    src = jnp.asarray(edges.src_kp)
+    tgt = jnp.asarray(edges.tgt_kp)
+    xs = poses[:, src, 0]                      # (P, Q)
+    ys = poses[:, src, 1]
+    vs = poses[:, src, 2]
+    ss = jnp.maximum(poses[:, src, 3], config.min_xy_scale)
+    active = placed[:, src] & ~placed[:, tgt] & pose_valid[:, None]
+
+    def weighted_best(qx, qy, sigma, cxs, cys, cxt, cyt, cst, cvalid, cscore,
+                      blend: bool):
+        """Gaussian-filtered best (and optional top-2 blend) association.
+
+        qx, qy: (P, Q) query source position; sigma: (P, Q);
+        c*: (Q, C) directed candidate geometry/scores.
+        Returns value, tx, ty, ts (all (P, Q)).
+        """
+        dx = cxs[None, :, :] - qx[:, :, None]      # (P, Q, C)
+        dy = cys[None, :, :] - qy[:, :, None]
+        d2 = dx * dx + dy * dy
+        sig2 = (sigma * sigma)[:, :, None]
+        w = jnp.exp(-0.5 * d2 / (config.gauss_denom * sig2))
+        in_range = d2 <= (config.filter_factor ** 2) * sig2
+        cs = jnp.where(in_range & cvalid[None], w * cscore[None], 0.0)
+
+        i1 = jnp.argmax(cs, axis=-1)                # (P, Q)
+        take = jnp.take_along_axis
+        v1 = take(cs, i1[..., None], -1)[..., 0]
+        t1x = take(jnp.broadcast_to(cxt[None], cs.shape), i1[..., None], -1)[..., 0]
+        t1y = take(jnp.broadcast_to(cyt[None], cs.shape), i1[..., None], -1)[..., 0]
+        t1s = take(jnp.broadcast_to(cst[None], cs.shape), i1[..., None], -1)[..., 0]
+        if not blend:
+            return v1, t1x, t1y, t1s
+
+        cs2 = jnp.where(
+            jnp.arange(cs.shape[-1])[None, None, :] == i1[..., None], 0.0, cs)
+        i2 = jnp.argmax(cs2, axis=-1)
+        v2 = take(cs2, i2[..., None], -1)[..., 0]
+        t2x = take(jnp.broadcast_to(cxt[None], cs.shape), i2[..., None], -1)[..., 0]
+        t2y = take(jnp.broadcast_to(cyt[None], cs.shape), i2[..., None], -1)[..., 0]
+        t2s = take(jnp.broadcast_to(cst[None], cs.shape), i2[..., None], -1)[..., 0]
+
+        dt2 = (t2x - t1x) ** 2 + (t2y - t1y) ** 2
+        blendable = (v2 > config.blend_min) & (dt2 <= t1s * t1s)
+        wsum = jnp.maximum(v1 + v2, 1e-8)
+        bx = (v1 * t1x + v2 * t2x) / wsum
+        by = (v1 * t1y + v2 * t2y) / wsum
+        bs = (v1 * t1s + v2 * t2s) / wsum
+        tx = jnp.where(blendable, bx, t1x)
+        ty = jnp.where(blendable, by, t1y)
+        ts = jnp.where(blendable, bs, t1s)
+        value = jnp.where(blendable, 0.5 * (v1 + v2), v1)
+        return value, tx, ty, ts
+
+    value, tx, ty, ts = weighted_best(
+        xs, ys, ss, c_xs, c_ys, c_xt, c_yt, c_st, c_valid, c_score,
+        config.connection_blend)
+
+    if reverse_match:
+        # walk back from the found target along the reversed directed edge
+        # (q ^ 1) and require landing near the source joint
+        rev = jnp.arange(e2) ^ 1
+        sig_t = jnp.maximum(ts, config.min_xy_scale)
+        rv, rx, ry, _ = weighted_best(
+            tx, ty, sig_t, c_xs[rev], c_ys[rev], c_xt[rev], c_yt[rev],
+            c_st[rev], c_valid[rev], c_score[rev], blend=False)
+        back2 = (rx - xs) ** 2 + (ry - ys) ** 2
+        ok = (rv > 0.0) & (back2 <= (config.filter_factor ** 2) * ss * ss)
+        value = jnp.where(ok, value, 0.0)
+
+    value = jnp.where(active, value, 0.0)
+    new_v = jnp.sqrt(value * vs)
+    return value, tx, ty, ts, new_v
+
+
+def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
+         cand: CafCandidates, edges: DirectedEdges,
+         config: GrowthConfig, *, keypoint_threshold: float = None,
+         reverse_match: bool = None, n_rounds: int = None):
+    """Run frontier relaxation until all joints are placed or K-1 rounds.
+
+    Each round every pose places its single best frontier joint — the
+    vectorized equivalent of the reference's priority-queue pop.
+    """
+    k = poses.shape[1]
+    kp_th = config.keypoint_threshold if keypoint_threshold is None \
+        else keypoint_threshold
+    rev = config.reverse_match if reverse_match is None else reverse_match
+    rounds = (k - 1) if n_rounds is None else n_rounds
+    tgt = jnp.asarray(edges.tgt_kp)
+    src = jnp.asarray(edges.src_kp)
+    k_range = jnp.arange(k)
+
+    def body(_, state):
+        poses, placed = state
+        value, tx, ty, ts, new_v = _connection_values(
+            poses, placed, pose_valid, cand, edges, config, kp_th, rev)
+        vs = poses[:, src, 2]
+        ok = (new_v > kp_th) & (new_v > config.keypoint_threshold_rel * vs)
+        conn = jnp.where(ok, value, 0.0)          # (P, Q)
+
+        # best incoming directed edge per joint: (P, K)
+        tgt_mask = tgt[:, None] == k_range[None, :]          # (Q, K)
+        conn_qk = jnp.where(tgt_mask[None], conn[:, :, None], 0.0)
+        best_q = jnp.argmax(conn_qk, axis=1)                 # (P, K)
+        best_v = jnp.max(conn_qk, axis=1)                    # (P, K)
+
+        take = jnp.take_along_axis
+        jx = take(tx, best_q, 1)
+        jy = take(ty, best_q, 1)
+        js = take(ts, best_q, 1)
+        jv = take(new_v, best_q, 1)
+
+        # one placement per pose per round: the best frontier joint
+        j_star = jnp.argmax(best_v, axis=1)                  # (P,)
+        star_v = jnp.max(best_v, axis=1)
+        do_place = (star_v > 0.0) & pose_valid
+        onehot = (k_range[None, :] == j_star[:, None]) & do_place[:, None]
+
+        rows = jnp.arange(poses.shape[0])
+        new_pose_data = jnp.stack([
+            take(jx, j_star[:, None], 1)[:, 0],
+            take(jy, j_star[:, None], 1)[:, 0],
+            take(jv, j_star[:, None], 1)[:, 0],
+            take(js, j_star[:, None], 1)[:, 0],
+        ], axis=-1)                                          # (P, 4)
+        poses = jnp.where(onehot[..., None],
+                          new_pose_data[:, None, :], poses)
+        placed = placed | onehot
+        return poses, placed
+
+    poses, placed = jax.lax.fori_loop(0, rounds, body, (poses, placed))
+
+    if config.force_complete:
+        cfg_th = config.force_complete_threshold
+        def body_relaxed(i, state):
+            poses, placed = state
+            value, tx, ty, ts, new_v = _connection_values(
+                poses, placed, pose_valid, cand, edges, config,
+                cfg_th, False)
+            conn = jnp.where(new_v > cfg_th, value, 0.0)
+            tgt_mask = tgt[:, None] == k_range[None, :]
+            conn_qk = jnp.where(tgt_mask[None], conn[:, :, None], 0.0)
+            best_q = jnp.argmax(conn_qk, axis=1)
+            best_v = jnp.max(conn_qk, axis=1)
+            take = jnp.take_along_axis
+            jx = take(tx, best_q, 1)
+            jy = take(ty, best_q, 1)
+            js = take(ts, best_q, 1)
+            jv = take(new_v, best_q, 1)
+            j_star = jnp.argmax(best_v, axis=1)
+            star_v = jnp.max(best_v, axis=1)
+            do_place = (star_v > 0.0) & pose_valid
+            onehot = (k_range[None, :] == j_star[:, None]) & do_place[:, None]
+            new_pose_data = jnp.stack([
+                take(jx, j_star[:, None], 1)[:, 0],
+                take(jy, j_star[:, None], 1)[:, 0],
+                take(jv, j_star[:, None], 1)[:, 0],
+                take(js, j_star[:, None], 1)[:, 0],
+            ], axis=-1)
+            poses = jnp.where(onehot[..., None],
+                              new_pose_data[:, None, :], poses)
+            placed = placed | onehot
+            return poses, placed
+        poses, placed = jax.lax.fori_loop(0, rounds, body_relaxed,
+                                          (poses, placed))
+
+    return poses, placed

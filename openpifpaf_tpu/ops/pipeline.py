@@ -1,0 +1,135 @@
+"""The full CifCaf decode pipeline as one jit-compiled program.
+
+Reference parity: ``src/openpifpaf/csrc/src/decoder/cifcaf.cpp:~80``
+(``CifCaf::call``): CifHr accumulation -> seed selection -> CAF scoring ->
+greedy growth -> keypoint NMS.  Here the whole chain is a single XLA
+program over static shapes, vmapped over the image batch — fields never
+leave the device (the host round-trip in ``decoder/decoder.py:~140`` of the
+reference is eliminated by design).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import caf_scored, cif_hr, growth, nms, seeds
+from .common import gather_field
+from ..models.heads import split_fields
+
+
+@dataclasses.dataclass(frozen=True)
+class CifCafConfig:
+    """All static decode configuration (jit-hashable)."""
+
+    stride: int = 16
+    image_hw: tuple = (641, 641)    # padded input image size
+    cifhr: cif_hr.CifHrConfig = cif_hr.CifHrConfig()
+    seeds: seeds.SeedsConfig = seeds.SeedsConfig()
+    caf: caf_scored.CafScoredConfig = caf_scored.CafScoredConfig()
+    growth: growth.GrowthConfig = growth.GrowthConfig()
+    nms: nms.NMSConfig = nms.NMSConfig()
+
+    @property
+    def hr_hw(self):
+        sp = self.cifhr.spacing
+        return ((self.image_hw[0] + sp - 1) // sp,
+                (self.image_hw[1] + sp - 1) // sp)
+
+
+class DecodedPoses(NamedTuple):
+    """Static-shape decode result (per image or batched)."""
+
+    xyv: jnp.ndarray           # (..., P, K, 3)
+    joint_scales: jnp.ndarray  # (..., P, K) px
+    scores: jnp.ndarray        # (..., P)
+    valid: jnp.ndarray         # (..., P) bool
+    n_dropped_caf: jnp.ndarray  # (...,) overflow counter (observability)
+
+
+def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
+                         cif_meta, caf_meta,
+                         config: CifCafConfig) -> DecodedPoses:
+    """Decode one image's raw (packed) CIF/CAF head tensors.
+
+    cif_field: (Fk, 5, H, W); caf_field: (Fe, 9, H, W) — raw head outputs
+    (activations applied here).
+    """
+    stride = config.stride
+    skeleton = np.asarray(caf_meta.skeleton, np.int32) - 1  # 0-based
+    score_weights = np.asarray(
+        cif_meta.score_weights if cif_meta.score_weights is not None
+        else [1.0] * cif_meta.n_fields, np.float32)
+
+    cif = split_fields(cif_field, cif_meta)
+    caf = split_fields(caf_field, caf_meta)
+
+    fk, h, w = cif.conf.shape
+    jj = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    ii = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    x_px = (ii + cif.vec[:, 0, 0]) * stride
+    y_px = (jj + cif.vec[:, 0, 1]) * stride
+    scale_px = cif.scale[:, 0] * stride
+
+    # 1) high-res confidence accumulation (MXU splat)
+    hr = cif_hr.accumulate(cif.conf, x_px, y_px, scale_px,
+                           out_hw=config.hr_hw, config=config.cifhr)
+
+    # 2) seeds
+    sds = seeds.select(cif.conf, x_px, y_px, scale_px, hr,
+                       hr_spacing=config.cifhr.spacing, config=config.seeds)
+
+    # 3) scored CAF candidates
+    conf_scales = (np.asarray(caf_meta.decoder_confidence_scales, np.float32)
+                   if caf_meta.decoder_confidence_scales is not None else None)
+    cands = caf_scored.score(caf, hr, skeleton, stride=stride,
+                             hr_spacing=config.cifhr.spacing,
+                             config=config.caf,
+                             confidence_scales=conf_scales)
+
+    # 4) parallel frontier growth
+    edges = growth.directed_edges(skeleton)
+    poses, placed, pose_valid, _ = growth.init_poses(
+        sds, n_keypoints=fk, config=config.growth)
+    poses, placed = growth.grow(poses, placed, pose_valid, cands, edges,
+                                config.growth)
+
+    # 5) joint scale refinement from the CIF scale field at joint positions
+    # (reference CifCaf fills joint_scales from the cif scale map)
+    k_idx = jnp.broadcast_to(jnp.arange(fk, dtype=jnp.int32)[None, :],
+                             poses.shape[:2])
+    js_cif = gather_field(scale_px, k_idx, poses[..., 0], poses[..., 1],
+                          spacing=stride)
+    joint_scales = jnp.where(js_cif > 0.0, js_cif, poses[..., 3])
+    joint_scales = jnp.where(placed, joint_scales, 0.0)
+
+    # 6) keypoint NMS + instance filtering
+    poses = poses.at[..., 2].set(jnp.where(placed, poses[..., 2], 0.0))
+    poses_out, scores, valid = nms.keypoint_nms(
+        poses, pose_valid, joint_scales, jnp.asarray(score_weights),
+        config.nms)
+
+    return DecodedPoses(
+        xyv=poses_out[..., :3],
+        joint_scales=joint_scales,
+        scores=scores,
+        valid=valid,
+        n_dropped_caf=cands.n_dropped,
+    )
+
+
+def make_batch_decoder(*, cif_meta, caf_meta, config: CifCafConfig):
+    """Build a jitted batched decoder closure.
+
+    Head metas are captured by closure (they are mutable dataclasses, not
+    hashable jit statics).  Returns
+    ``decode(cif_fields (B,Fk,5,H,W), caf_fields (B,Fe,9,H,W)) -> DecodedPoses``.
+    """
+    fn = functools.partial(decode_cifcaf_single, cif_meta=cif_meta,
+                           caf_meta=caf_meta, config=config)
+    return jax.jit(jax.vmap(fn))

@@ -1,0 +1,194 @@
+"""Decoder tests on synthetic fields.
+
+Mirrors the reference ``tests/test_decoder.py`` strategy (SURVEY.md §4):
+hand-crafted CIF/CAF tensors with known poses -> assert decoded keypoint
+locations and scores.  This is the parity harness for the TPU decoder.
+"""
+
+import numpy as np
+import pytest
+
+from openpifpaf_tpu import headmeta
+from openpifpaf_tpu import ops
+from openpifpaf_tpu.plugins.coco import constants
+
+
+def inv_sigmoid(p):
+    p = np.clip(p, 1e-6, 1 - 1e-6)
+    return np.log(p / (1 - p))
+
+
+def inv_softplus(s):
+    return np.log(np.expm1(np.maximum(s, 1e-6)))
+
+
+def paint_cif(field, kp_xyv_px, scales_px, stride):
+    """Paint raw CIF (K, 5, H, W): 4x4 neighborhood per visible keypoint."""
+    k, _, h, w = field.shape
+    for f in range(k):
+        x, y, v = kp_xyv_px[f]
+        if v <= 0:
+            continue
+        cx, cy = x / stride, y / stride
+        i0, j0 = int(np.floor(cx)) - 1, int(np.floor(cy)) - 1
+        for j in range(j0, j0 + 4):
+            for i in range(i0, i0 + 4):
+                if not (0 <= i < w and 0 <= j < h):
+                    continue
+                d = max(abs(cx - i), abs(cy - j))
+                conf = 1.0 if d < 1.5 else 0.4
+                field[f, 0, j, i] = inv_sigmoid(conf)
+                field[f, 1, j, i] = cx - i
+                field[f, 2, j, i] = cy - j
+                field[f, 3, j, i] = inv_softplus(0.5)
+                field[f, 4, j, i] = inv_softplus(scales_px[f] / stride)
+    return field
+
+
+def paint_caf(field, kp_xyv_px, scales_px, skeleton, stride):
+    """Paint raw CAF (E, 9, H, W): cells along each edge segment."""
+    e_, _, h, w = field.shape
+    for e, (a1, a2) in enumerate(skeleton):
+        x1, y1, v1 = kp_xyv_px[a1 - 1]
+        x2, y2, v2 = kp_xyv_px[a2 - 1]
+        if v1 <= 0 or v2 <= 0:
+            continue
+        c1 = np.array([x1, y1]) / stride
+        c2 = np.array([x2, y2]) / stride
+        n_steps = max(2, int(np.ceil(np.linalg.norm(c2 - c1))) + 1)
+        for t in np.linspace(0.0, 1.0, n_steps):
+            p = c1 + t * (c2 - c1)
+            i, j = int(round(p[0])), int(round(p[1]))
+            if not (0 <= i < w and 0 <= j < h):
+                continue
+            field[e, 0, j, i] = inv_sigmoid(1.0)
+            field[e, 1, j, i] = c1[0] - i
+            field[e, 2, j, i] = c1[1] - j
+            field[e, 3, j, i] = c2[0] - i
+            field[e, 4, j, i] = c2[1] - j
+            field[e, 5, j, i] = inv_softplus(0.5)
+            field[e, 6, j, i] = inv_softplus(0.5)
+            field[e, 7, j, i] = inv_softplus(scales_px[a1 - 1] / stride)
+            field[e, 8, j, i] = inv_softplus(scales_px[a2 - 1] / stride)
+    return field
+
+
+def synthetic_pose(offset_px=(0.0, 0.0), scale=30.0):
+    """A full 17-keypoint upright pose in a 321x321 image."""
+    pose = constants.COCO_UPRIGHT_POSE.copy()
+    kp = np.zeros((17, 3), np.float32)
+    kp[:, 0] = pose[:, 0] * scale + 160.0 + offset_px[0]
+    kp[:, 1] = (10.0 - pose[:, 1]) * scale + 10.0 + offset_px[1]
+    kp[:, 2] = 2.0
+    scales = np.maximum(4.0, np.asarray(constants.COCO_PERSON_SIGMAS) * scale * 4)
+    return kp, scales
+
+
+def build_fields(poses_and_scales, h=21, w=21, stride=16):
+    cif = np.zeros((17, 5, h, w), np.float32)
+    caf = np.zeros((19, 9, h, w), np.float32)
+    cif[:, 0] = -10.0
+    caf[:, 0] = -10.0
+    for kp, scales in poses_and_scales:
+        paint_cif(cif, kp, scales, stride)
+        paint_caf(caf, kp, scales, constants.COCO_PERSON_SKELETON, stride)
+    return cif, caf
+
+
+def metas():
+    cif_meta = headmeta.Cif(
+        'cif', 'test', keypoints=constants.COCO_KEYPOINTS,
+        sigmas=constants.COCO_PERSON_SIGMAS,
+        score_weights=constants.COCO_PERSON_SCORE_WEIGHTS)
+    caf_meta = headmeta.Caf(
+        'caf', 'test', keypoints=constants.COCO_KEYPOINTS,
+        sigmas=constants.COCO_PERSON_SIGMAS,
+        skeleton=constants.COCO_PERSON_SKELETON)
+    return cif_meta, caf_meta
+
+
+def decode(cif, caf, **config_updates):
+    import dataclasses
+    cif_meta, caf_meta = metas()
+    config = ops.CifCafConfig(
+        stride=16, image_hw=(cif.shape[-2] * 16, cif.shape[-1] * 16))
+    if config_updates:
+        config = dataclasses.replace(config, **config_updates)
+    return ops.decode_cifcaf_single(
+        np.asarray(cif), np.asarray(caf),
+        cif_meta=cif_meta, caf_meta=caf_meta, config=config)
+
+
+class TestCifHr:
+    def test_peak_at_keypoint(self):
+        kp, scales = synthetic_pose()
+        cif, _ = build_fields([(kp, scales)])
+        from openpifpaf_tpu.models.heads import split_fields
+        cif_meta, _ = metas()
+        comp = split_fields(np.asarray(cif), cif_meta)
+        hr = ops.cif_hr.accumulate_from_fields(
+            comp, stride=16, out_hw=(168, 168),
+            config=ops.cif_hr.CifHrConfig())
+        hr = np.asarray(hr)
+        # peak of field 0 (nose) near its ground-truth location
+        f = 0
+        j, i = np.unravel_index(np.argmax(hr[f]), hr[f].shape)
+        assert abs(i * 2 - kp[f, 0]) < 6
+        assert abs(j * 2 - kp[f, 1]) < 6
+        assert hr[f].max() > 0.3
+        assert hr[f].max() <= 1.0
+
+
+class TestSingle:
+    def test_decodes_one_pose(self):
+        kp, scales = synthetic_pose()
+        cif, caf = build_fields([(kp, scales)])
+        result = decode(cif, caf)
+        valid = np.asarray(result.valid)
+        assert valid.sum() == 1
+        p = int(np.argmax(valid))
+        xyv = np.asarray(result.xyv)[p]
+        n_found = (xyv[:, 2] > 0.05).sum()
+        assert n_found == 17
+        err = np.linalg.norm(xyv[:, :2] - kp[:, :2], axis=1)
+        assert err.max() < 6.0, err
+        assert float(np.asarray(result.scores)[p]) > 0.3
+
+    def test_empty_fields(self):
+        cif = np.full((17, 5, 21, 21), -10.0, np.float32)
+        caf = np.full((19, 9, 21, 21), -10.0, np.float32)
+        result = decode(cif, caf)
+        assert np.asarray(result.valid).sum() == 0
+
+
+class TestTwoPeople:
+    def test_decodes_two_poses(self):
+        kp1, scales = synthetic_pose(offset_px=(-70.0, 0.0))
+        kp2, _ = synthetic_pose(offset_px=(75.0, 10.0))
+        cif, caf = build_fields([(kp1, scales), (kp2, scales)])
+        result = decode(cif, caf)
+        valid = np.asarray(result.valid)
+        assert valid.sum() == 2
+        xyv = np.asarray(result.xyv)[valid]
+        # match each decoded pose to its GT by nose position
+        noses = xyv[:, 0, :2]
+        gt_noses = np.stack([kp1[0, :2], kp2[0, :2]])
+        d = np.linalg.norm(noses[:, None] - gt_noses[None], axis=-1)
+        assert d.min(axis=1).max() < 6.0
+
+
+class TestBatch:
+    def test_vmapped_decode(self):
+        kp, scales = synthetic_pose()
+        cif, caf = build_fields([(kp, scales)])
+        cif_meta, caf_meta = metas()
+        config = ops.CifCafConfig(stride=16, image_hw=(21 * 16, 21 * 16))
+        decode_batch = ops.make_batch_decoder(
+            cif_meta=cif_meta, caf_meta=caf_meta, config=config)
+        cif_b = np.stack([cif, np.full_like(cif, -10.0)])
+        caf_b = np.stack([caf, np.full_like(caf, -10.0)])
+        result = decode_batch(cif_b, caf_b)
+        valid = np.asarray(result.valid)
+        assert valid.shape[0] == 2
+        assert valid[0].sum() == 1
+        assert valid[1].sum() == 0
