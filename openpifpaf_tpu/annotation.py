@@ -146,23 +146,32 @@ class Annotation(Base):
         return data
 
     def inverse_transform(self, meta) -> 'Annotation':
-        """Map back to original image coordinates using transform meta."""
+        """Map back to original image coordinates using transform meta.
+
+        Inverse application order is the reverse of the forward pipeline:
+        scale/crop/pad (tracked in offset/scale) are undone first, then the
+        rotation, then the horizontal flip.
+        """
         ann = self.copy()
-        angle = -meta.get('rotation', {'angle': 0.0})['angle'] \
-            if isinstance(meta.get('rotation'), dict) else 0.0
-        if angle != 0.0:  # pragma: no cover - exercised via transforms tests
-            rw = meta['rotation']['width']
-            rh = meta['rotation']['height']
-            ang = np.radians(angle)
-            rot = np.array([[np.cos(ang), -np.sin(ang)],
-                            [np.sin(ang), np.cos(ang)]], dtype=np.float32)
-            center = np.array([(rw - 1) / 2.0, (rh - 1) / 2.0], dtype=np.float32)
-            ann.data[:, :2] = (ann.data[:, :2] - center) @ rot.T + center
         ann.data[:, 0] += meta['offset'][0]
         ann.data[:, 1] += meta['offset'][1]
         ann.data[:, 0] /= meta['scale'][0]
         ann.data[:, 1] /= meta['scale'][1]
         ann.joint_scales /= meta['scale'][0]
+
+        rotation = meta.get('rotation')
+        if isinstance(rotation, dict) and rotation.get('angle', 0.0):
+            angle = rotation['angle']
+            rw, rh = rotation['width'], rotation['height']
+            ow = rotation.get('orig_width', rw)
+            oh = rotation.get('orig_height', rh)
+            ang = np.radians(angle)
+            rot = np.array([[np.cos(ang), -np.sin(ang)],
+                            [np.sin(ang), np.cos(ang)]], dtype=np.float32)
+            c_new = np.array([(rw - 1) / 2.0, (rh - 1) / 2.0], np.float32)
+            c_old = np.array([(ow - 1) / 2.0, (oh - 1) / 2.0], np.float32)
+            ann.data[:, :2] = (ann.data[:, :2] - c_new) @ rot.T + c_old
+
         if meta.get('hflip', False):
             w = meta['width_height'][0]
             ann.data[:, 0] = -ann.data[:, 0] + (w - 1)

@@ -1,0 +1,197 @@
+"""CifCaf decoder wrapper: jitted pipeline -> Annotation objects.
+
+Reference parity: ``src/openpifpaf/decoder/cifcaf.py:~40`` — owns the
+per-(cif, caf) head decode, exposes all thresholds as CLI flags
+(``--seed-threshold``, ``--keypoint-threshold``, ``--force-complete-pose``,
+``--dense-connections``, ...) and converts pose tensors into ``Annotation``
+objects (``:~120``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+from typing import List, Tuple
+
+import numpy as np
+
+from .decoder import Decoder
+from .. import headmeta
+from ..annotation import Annotation
+from ..ops import CifCafConfig, make_batch_decoder
+from ..ops import caf_scored, cif_hr, growth, nms, seeds
+
+LOG = logging.getLogger(__name__)
+
+
+class CifCaf(Decoder):
+    # class-level configuration (reference static thresholds)
+    seed_threshold = 0.2
+    keypoint_threshold = 0.15
+    keypoint_threshold_rel = 0.5
+    instance_threshold = 0.15
+    caf_score_th = 0.2
+    cif_hr_v_threshold = 0.1
+    force_complete = False
+    reverse_match = True
+    connection_blend = True
+    dense_connections = 0.0
+    max_poses = 96
+    max_seeds = 512
+    max_caf_candidates = 256
+    nms_before_force_complete = False
+    hr_spacing = 2
+
+    def __init__(self, cif_meta: headmeta.Cif, caf_meta: headmeta.Caf):
+        self.cif_meta = cif_meta
+        self.caf_meta = caf_meta
+        self._decoders = {}  # image_hw -> jitted batched decode
+
+    @classmethod
+    def cli(cls, parser: argparse.ArgumentParser) -> None:
+        group = parser.add_argument_group('CifCaf decoder')
+        group.add_argument('--seed-threshold', default=cls.seed_threshold,
+                           type=float, help='minimum seed value')
+        group.add_argument('--keypoint-threshold',
+                           default=cls.keypoint_threshold, type=float,
+                           help='minimum grown keypoint score')
+        group.add_argument('--keypoint-threshold-rel',
+                           default=cls.keypoint_threshold_rel, type=float,
+                           help='min keypoint score relative to source joint')
+        group.add_argument('--instance-threshold',
+                           default=cls.instance_threshold, type=float,
+                           help='minimum pose score')
+        group.add_argument('--caf-score-th', default=cls.caf_score_th,
+                           type=float, help='CAF candidate threshold')
+        group.add_argument('--force-complete-pose', dest='force_complete',
+                           default=cls.force_complete, action='store_true',
+                           help='relaxed second growth pass to fill poses')
+        group.add_argument('--no-reverse-match', dest='reverse_match',
+                           default=cls.reverse_match, action='store_false',
+                           help='disable reverse-match confirmation')
+        group.add_argument('--connection-method',
+                           default='blend' if cls.connection_blend else 'max',
+                           choices=('blend', 'max'),
+                           help='association candidate combination')
+        group.add_argument('--dense-connections', nargs='?',
+                           type=float, default=cls.dense_connections,
+                           const=1.0,
+                           help='use dense skeleton connections at this '
+                                'confidence scale')
+        group.add_argument('--decoder-max-poses', default=cls.max_poses,
+                           type=int, help='static pose budget per image')
+        group.add_argument('--decoder-max-seeds', default=cls.max_seeds,
+                           type=int, help='static seed budget per image')
+
+    @classmethod
+    def configure(cls, args: argparse.Namespace) -> None:
+        cls.seed_threshold = args.seed_threshold
+        cls.keypoint_threshold = args.keypoint_threshold
+        cls.keypoint_threshold_rel = args.keypoint_threshold_rel
+        cls.instance_threshold = args.instance_threshold
+        cls.caf_score_th = args.caf_score_th
+        cls.force_complete = args.force_complete
+        cls.reverse_match = args.reverse_match
+        cls.connection_blend = args.connection_method == 'blend'
+        cls.dense_connections = args.dense_connections
+        cls.max_poses = args.decoder_max_poses
+        cls.max_seeds = args.decoder_max_seeds
+
+    @classmethod
+    def match(cls, head_metas) -> bool:
+        return (len(head_metas) >= 2
+                and isinstance(head_metas[0], headmeta.Cif)
+                and isinstance(head_metas[1], headmeta.Caf))
+
+    @classmethod
+    def factory(cls, head_metas) -> List['CifCaf']:
+        if not cls.match(head_metas):
+            return []
+        return [cls(head_metas[0], head_metas[1])]
+
+    # ------------------------------------------------------------------
+    def config_for(self, image_hw: Tuple[int, int]) -> CifCafConfig:
+        return CifCafConfig(
+            stride=self.cif_meta.stride,
+            image_hw=tuple(image_hw),
+            cifhr=cif_hr.CifHrConfig(
+                v_threshold=self.cif_hr_v_threshold,
+                spacing=self.hr_spacing,
+                min_scale=self.cif_meta.decoder_min_scale),
+            seeds=seeds.SeedsConfig(
+                threshold=self.seed_threshold,
+                max_seeds=self.max_seeds),
+            caf=caf_scored.CafScoredConfig(
+                score_th=self.caf_score_th,
+                max_candidates=self.max_caf_candidates),
+            growth=growth.GrowthConfig(
+                keypoint_threshold=self.keypoint_threshold,
+                keypoint_threshold_rel=self.keypoint_threshold_rel,
+                reverse_match=self.reverse_match,
+                connection_blend=self.connection_blend,
+                max_poses=self.max_poses,
+                force_complete=self.force_complete),
+            nms=nms.NMSConfig(
+                instance_threshold=self.instance_threshold,
+                keypoint_threshold=self.keypoint_threshold),
+        )
+
+    def _decoder_for(self, image_hw: Tuple[int, int]):
+        key = tuple(image_hw)
+        if key not in self._decoders:
+            LOG.info('compiling decoder for image size %s', key)
+            self._decoders[key] = make_batch_decoder(
+                cif_meta=self.cif_meta, caf_meta=self.caf_meta,
+                config=self.config_for(key))
+        return self._decoders[key]
+
+    def decoded_to_annotations(self, decoded_i) -> List[Annotation]:
+        """Convert one image's DecodedPoses slice to Annotation objects."""
+        xyv = np.asarray(decoded_i.xyv)
+        joint_scales = np.asarray(decoded_i.joint_scales)
+        scores = np.asarray(decoded_i.scores)
+        valid = np.asarray(decoded_i.valid)
+
+        annotations = []
+        order = np.argsort(-scores)
+        for p in order:
+            if not valid[p]:
+                continue
+            ann = Annotation(
+                self.cif_meta.keypoints,
+                self.caf_meta.skeleton,
+                sigmas=self.cif_meta.sigmas,
+                score_weights=self.cif_meta.score_weights)
+            ann.data[:] = xyv[p]
+            ann.joint_scales[:] = joint_scales[p]
+            ann.fixed_score = float(scores[p])
+            annotations.append(ann)
+        return annotations
+
+    def __call__(self, fields) -> List[Annotation]:
+        """Decode a single image: fields = [cif (F,5,H,W), caf (E,9,H,W)]."""
+        cif_field = np.asarray(fields[self.cif_meta.head_index])
+        caf_field = np.asarray(fields[self.caf_meta.head_index])
+        h, w = cif_field.shape[-2:]
+        stride = self.cif_meta.stride
+        image_hw = ((h - 1) * stride + 1, (w - 1) * stride + 1)
+        decode = self._decoder_for(image_hw)
+        decoded = decode(cif_field[None], caf_field[None])
+        return self.decoded_to_annotations(
+            type(decoded)(*[x[0] for x in decoded]))
+
+    def batch_fields(self, fields) -> List[List[Annotation]]:
+        cif_fields = fields[self.cif_meta.head_index]
+        caf_fields = fields[self.caf_meta.head_index]
+        h, w = cif_fields.shape[-2:]
+        stride = self.cif_meta.stride
+        image_hw = ((h - 1) * stride + 1, (w - 1) * stride + 1)
+        decode = self._decoder_for(image_hw)
+        decoded = decode(cif_fields, caf_fields)
+        batch_size = cif_fields.shape[0]
+        return [
+            self.decoded_to_annotations(
+                type(decoded)(*[np.asarray(x)[i] for x in decoded]))
+            for i in range(batch_size)
+        ]

@@ -1,0 +1,48 @@
+"""Decoder registry and factory.
+
+Reference parity: ``src/openpifpaf/decoder/factory.py:~20`` — ``DECODERS``
+registry; decoder classes are matched against checkpoint head metas.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from typing import List, Set, Type
+
+from .cifcaf import CifCaf
+from .cifdet import CifDet
+from .decoder import Decoder
+from .multi import Multi
+
+LOG = logging.getLogger(__name__)
+
+DECODERS: Set[Type[Decoder]] = {CifCaf, CifDet}
+
+
+def cli(parser: argparse.ArgumentParser) -> None:
+    group = parser.add_argument_group('decoder')
+    group.add_argument('--decoder', default=None, nargs='+',
+                       help='decoder names to instantiate '
+                            '(e.g. cifcaf, cifdet); default: by head metas')
+    for decoder in DECODERS:
+        decoder.cli(parser)
+
+
+def configure(args: argparse.Namespace) -> None:
+    for decoder in DECODERS:
+        decoder.configure(args)
+
+
+def factory(head_metas) -> Decoder:
+    """Build the decoder(s) matching the model's head metas."""
+    decoders = [d for decoder_class in DECODERS
+                for d in decoder_class.factory(head_metas)]
+    if not decoders:
+        raise ValueError(
+            f'no decoder found for head metas '
+            f'{[type(m).__name__ for m in head_metas]}')
+    if len(decoders) == 1:
+        return decoders[0]
+    LOG.info('multiple decoders matched: %s', decoders)
+    return Multi(decoders)

@@ -109,9 +109,5 @@ def score(components, cifhr: jnp.ndarray, skeleton: np.ndarray, *,
 
 
 def _vectorized_top_k(values: jnp.ndarray, mask: jnp.ndarray, k: int):
-    """masked_top_k over the last axis, batched over leading axes."""
-    neg = jnp.finfo(jnp.float32).min
-    masked = jnp.where(mask, values.astype(jnp.float32), neg)
-    import jax
-    vals, idx = jax.lax.top_k(masked, k)
-    return vals, idx, vals > neg * 0.5
+    from .common import masked_top_k
+    return masked_top_k(values, mask, k)

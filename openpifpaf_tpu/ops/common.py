@@ -59,11 +59,17 @@ def gather_field(grids: jnp.ndarray, f: jnp.ndarray, x: jnp.ndarray,
 
 
 def masked_top_k(values: jnp.ndarray, mask: jnp.ndarray, k: int):
-    """Top-k of ``values`` where ``mask`` (flat input).
+    """Top-k of ``values`` where ``mask``, over the last axis.
 
     Returns (values_k, indices_k, valid_k); invalid slots have value -inf.
+    Requests larger than the axis are padded so output shapes stay static.
     """
     neg = jnp.finfo(jnp.float32).min
     masked = jnp.where(mask, values.astype(jnp.float32), neg)
-    vals, idx = jax.lax.top_k(masked, k)
+    n = masked.shape[-1]
+    vals, idx = jax.lax.top_k(masked, min(k, n))
+    if k > n:
+        pad = [(0, 0)] * (vals.ndim - 1) + [(0, k - n)]
+        vals = jnp.pad(vals, pad, constant_values=neg)
+        idx = jnp.pad(idx, pad, constant_values=0)
     return vals, idx, vals > neg * 0.5

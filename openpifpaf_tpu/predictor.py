@@ -1,0 +1,125 @@
+"""Predictor: high-level batched inference API.
+
+Reference parity: ``src/openpifpaf/predictor.py:~60`` —
+``Predictor.images()/numpy_images()/dataset()`` load a checkpoint, build the
+matching decoder, batch images through preprocess -> forward -> decode and
+inverse-map annotations back to original image coordinates (``:~140``).
+
+TPU-first: the preprocess pads every image to one static size
+(``--long-edge`` square) so a single compiled forward+decode program serves
+the whole stream; forward runs jitted in bfloat16 with the decode chained
+on-device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from . import datasets, decoder as decoder_mod, models, transforms
+
+LOG = logging.getLogger(__name__)
+
+
+class Predictor:
+    batch_size = 1
+    long_edge = 641
+    loader_workers: Optional[int] = None
+
+    def __init__(self, *, checkpoint: Optional[str] = None,
+                 model: Optional[models.Model] = None,
+                 head_metas=None,
+                 json_data: bool = False):
+        if model is None:
+            factory = models.Factory()
+            if checkpoint is not None:
+                factory.checkpoint = checkpoint
+            model = factory.factory(head_metas=head_metas)
+        self.model = model
+        self.decoder = decoder_mod.factory(model.head_metas)
+        self.json_data = json_data
+        self.last_decoder_time = 0.0
+        self.last_nn_time = 0.0
+        self.total_nn_time = 0.0
+        self.total_decoder_time = 0.0
+        self.total_images = 0
+
+        self._forward = jax.jit(
+            lambda variables, x: model.module.apply(variables, x, train=False))
+
+    @classmethod
+    def cli(cls, parser: argparse.ArgumentParser) -> None:
+        group = parser.add_argument_group('Predictor')
+        group.add_argument('--long-edge', default=cls.long_edge, type=int,
+                           help='rescale the long side and pad to this size')
+        group.add_argument('--predictor-batch-size', dest='predictor_batch_size',
+                           default=cls.batch_size, type=int,
+                           help='prediction batch size')
+
+    @classmethod
+    def configure(cls, args: argparse.Namespace) -> None:
+        cls.long_edge = args.long_edge
+        cls.batch_size = args.predictor_batch_size
+
+    # ------------------------------------------------------------------
+    def preprocess_factory(self) -> transforms.Preprocess:
+        return transforms.Compose([
+            transforms.NormalizeAnnotations(
+                keypoints=getattr(self.model.head_metas[0], 'keypoints', []) or [],
+                skeleton=getattr(self.model.head_metas[0], 'draw_skeleton', [])
+                or []),
+            transforms.RescaleAbsolute(self.long_edge),
+            transforms.CenterPad(self.long_edge),
+            transforms.EVAL_TRANSFORM,
+        ])
+
+    def dataset(self, data) -> Iterator[Tuple[List, List, dict]]:
+        """Iterate (pred, gt_anns, meta) over a Dataset/Loader."""
+        if isinstance(data, datasets.Loader):
+            loader = data
+        else:
+            workers = self.loader_workers or 0
+            loader = datasets.Loader(
+                data, batch_size=self.batch_size, shuffle=False,
+                collate_fn=datasets.collate_images_anns_meta,
+                num_workers=workers, drop_last=False)
+        yield from self.dataset_loader(loader)
+
+    def dataset_loader(self, loader) -> Iterator[Tuple[List, List, dict]]:
+        for images, gt_batch, meta_batch in loader:
+            start = time.perf_counter()
+            fields = self._forward(self.model.variables, images)
+            self.last_nn_time = time.perf_counter() - start
+            self.total_nn_time += self.last_nn_time
+
+            start = time.perf_counter()
+            pred_batch = self.decoder.batch_fields(fields)
+            self.last_decoder_time = time.perf_counter() - start
+            self.total_decoder_time += self.last_decoder_time
+            self.total_images += len(meta_batch)
+
+            for preds, gts, meta in zip(pred_batch, gt_batch, meta_batch):
+                preds = [ann.inverse_transform(meta) for ann in preds]
+                gts = [ann.inverse_transform(meta) for ann in gts]
+                if self.json_data:
+                    preds = [ann.json_data() for ann in preds]
+                yield preds, gts, meta
+
+    def images(self, paths: Sequence[str]) -> Iterator:
+        data = datasets.ImageList(paths, self.preprocess_factory())
+        yield from self.dataset(data)
+
+    def numpy_images(self, images) -> Iterator:
+        data = datasets.NumpyImageList(images, self.preprocess_factory())
+        yield from self.dataset(data)
+
+    def image(self, path: str):
+        return next(iter(self.images([path])))
+
+    def numpy_image(self, image):
+        return next(iter(self.numpy_images([image])))

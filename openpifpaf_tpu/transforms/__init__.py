@@ -1,0 +1,34 @@
+"""Preprocessing transforms (PIL/numpy, host-side).
+
+Reference parity: ``src/openpifpaf/transforms/`` — same composable
+``Preprocess`` contract with invertible meta tracking.
+``EVAL_TRANSFORM``/``TRAIN_TRANSFORM`` mirror ``transforms/__init__.py:~20``
+(ImageNet normalization at the tensor boundary).
+"""
+
+from .annotations import NormalizeAnnotations
+from .compose import Compose
+from .crop import Crop
+from .hflip import HFlip, HorizontalSwap
+from .image import (Blur, ColorTint, ImageToNumpy, JpegCompression,
+                    IMAGENET_MEAN, IMAGENET_STD)
+from .minsize import MinSize
+from .pad import CenterPad, CenterPadTight
+from .preprocess import AnnotationCopy, Preprocess
+from .random import DeterministicEqualChoice, RandomApply, RandomChoice
+from .rotate import RotateBy90, RotateUniform
+from .scale import RescaleAbsolute, RescaleRelative, ScaleMix
+
+# the tensor boundary used by all loaders
+EVAL_TRANSFORM = ImageToNumpy()
+TRAIN_TRANSFORM = ImageToNumpy()
+
+__all__ = [
+    'NormalizeAnnotations', 'Compose', 'Crop', 'HFlip', 'HorizontalSwap',
+    'Blur', 'ColorTint', 'ImageToNumpy', 'JpegCompression',
+    'IMAGENET_MEAN', 'IMAGENET_STD', 'MinSize', 'CenterPad',
+    'CenterPadTight', 'AnnotationCopy', 'Preprocess',
+    'DeterministicEqualChoice', 'RandomApply', 'RandomChoice',
+    'RotateBy90', 'RotateUniform', 'RescaleAbsolute', 'RescaleRelative',
+    'ScaleMix', 'EVAL_TRANSFORM', 'TRAIN_TRANSFORM',
+]

@@ -1,0 +1,62 @@
+"""Preprocess base class and meta conventions.
+
+Reference parity: ``src/openpifpaf/transforms/preprocess.py:~10`` — every
+transform implements ``__call__(image, anns, meta)`` and records enough in
+``meta`` for predictions to be mapped back to original image coordinates
+(``Annotation.inverse_transform``).
+
+Meta invariant:  ``x_original = (x_transformed + offset) / scale``.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import List
+
+import numpy as np
+
+
+class Preprocess:
+    def __call__(self, image, anns, meta):
+        raise NotImplementedError
+
+    @staticmethod
+    def init_meta(image, meta=None) -> dict:
+        meta = dict(meta) if meta else {}
+        w, h = image.size if hasattr(image, 'size') else \
+            (image.shape[1], image.shape[0])
+        meta.setdefault('offset', np.array((0.0, 0.0)))
+        meta.setdefault('scale', np.array((1.0, 1.0)))
+        meta.setdefault('rotation', {'angle': 0.0, 'width': None, 'height': None})
+        meta.setdefault('valid_area', np.array((0.0, 0.0, w - 1, h - 1)))
+        meta.setdefault('hflip', False)
+        meta.setdefault('width_height', np.array((w, h)))
+        meta.setdefault('horizontal_swap', None)
+        return meta
+
+
+class AnnotationCopy(Preprocess):
+    def __call__(self, image, anns, meta):
+        return image, copy.deepcopy(anns), meta
+
+
+def rescale_annotations(anns: List, x_scale: float, y_scale: float):
+    for ann in anns:
+        ann.data[:, 0] *= x_scale
+        ann.data[:, 1] *= y_scale
+        if getattr(ann, 'joint_scales', None) is not None:
+            ann.joint_scales *= (x_scale + y_scale) / 2.0
+        if getattr(ann, 'fixed_bbox', None) is not None:
+            ann.fixed_bbox = np.asarray(ann.fixed_bbox, np.float32) \
+                * np.array([x_scale, y_scale, x_scale, y_scale])
+    return anns
+
+
+def translate_annotations(anns: List, dx: float, dy: float):
+    for ann in anns:
+        ann.data[:, 0] += dx
+        ann.data[:, 1] += dy
+        if getattr(ann, 'fixed_bbox', None) is not None:
+            ann.fixed_bbox = np.asarray(ann.fixed_bbox, np.float32) \
+                + np.array([dx, dy, 0.0, 0.0])
+    return anns
