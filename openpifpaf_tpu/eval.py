@@ -1,0 +1,111 @@
+"""Eval CLI: run the predictor over a dataset's eval loader and score it.
+
+Reference parity: ``src/openpifpaf/eval.py`` — ``Evaluator`` (``:~60``)
+feeds Predictor output into the datamodule's metrics, accumulates, writes
+``{checkpoint}.eval-{dataset}.stats.json`` with AP stats plus total/decoder
+time accounting (``:~200``), and optionally the raw predictions
+(``--write-predictions``).
+
+Usage: ``python -m openpifpaf_tpu.eval --dataset=toykp --checkpoint=model.npz``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+from . import datasets, decoder, logger, models
+from .predictor import Predictor
+
+LOG = logging.getLogger(__name__)
+
+
+class Evaluator:
+    def __init__(self, datamodule, predictor: Predictor):
+        self.datamodule = datamodule
+        self.predictor = predictor
+        self.metrics = datamodule.metrics()
+        self.n_images = 0
+
+    def run(self) -> dict:
+        loader = self.datamodule.eval_loader()
+        total_start = time.perf_counter()
+        for pred, gt, image_meta in self.predictor.dataset_loader(loader):
+            for metric in self.metrics:
+                metric.accumulate(pred, image_meta, ground_truth=gt)
+            self.n_images += 1
+        total_time = time.perf_counter() - total_start
+
+        stats = {
+            'n_images': self.n_images,
+            'total_time': round(total_time, 3),
+            'nn_time': round(self.predictor.total_nn_time, 3),
+            'decoder_time': round(self.predictor.total_decoder_time, 3),
+            'images_per_second': round(self.n_images / max(1e-6, total_time), 3),
+        }
+        for metric in self.metrics:
+            metric_stats = metric.stats()
+            stats.update({
+                'stats': metric_stats['stats'],
+                'text_labels': metric_stats['text_labels'],
+            })
+        return stats
+
+
+def cli(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        prog='python -m openpifpaf_tpu.eval',
+        description=__doc__,
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument('-o', '--output', default=None,
+                        help='stats output file basename')
+    parser.add_argument('--write-predictions', default=False,
+                        action='store_true')
+    logger.cli(parser)
+    models.Factory.cli(parser)
+    decoder.cli(parser)
+    Predictor.cli(parser)
+    datasets.cli(parser)
+    args = parser.parse_args(argv)
+
+    logger.configure(args)
+    models.Factory.configure(args)
+    decoder.configure(args)
+    Predictor.configure(args)
+    datasets.configure(args)
+    return args
+
+
+def main(argv=None) -> int:
+    args = cli(argv)
+    datamodule = datasets.factory(args.dataset)
+    predictor = Predictor(head_metas=datamodule.head_metas)
+
+    evaluator = Evaluator(datamodule, predictor)
+    stats = evaluator.run()
+
+    if args.output is None:
+        checkpoint = models.Factory.checkpoint or 'model'
+        args.output = f'{checkpoint}.eval-{args.dataset}'
+    os.makedirs(os.path.dirname(args.output) or '.', exist_ok=True)
+    with open(args.output + '.stats.json', 'w') as f:
+        json.dump(stats, f, indent=2)
+    LOG.info('stats written to %s.stats.json', args.output)
+
+    if args.write_predictions:
+        for metric in evaluator.metrics:
+            metric.write_predictions(args.output)
+
+    if 'text_labels' in stats:
+        for label, value in zip(stats['text_labels'], stats['stats']):
+            print(f'{label:>8} = {value:.3f}')
+    print(f'images/s = {stats["images_per_second"]:.2f}')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,7 @@
+"""Synthetic keypoint plugin (fast CI workload)."""
+
+
+def register():
+    from .datamodule import ToyKp  # pylint: disable=import-outside-toplevel
+    from ...datasets import DATAMODULES  # pylint: disable=import-outside-toplevel
+    DATAMODULES['toykp'] = ToyKp
