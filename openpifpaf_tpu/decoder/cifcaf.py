@@ -176,10 +176,66 @@ class CifCaf(Decoder):
         h, w = cif_field.shape[-2:]
         stride = self.cif_meta.stride
         image_hw = ((h - 1) * stride + 1, (w - 1) * stride + 1)
+        self._debug_visualize(cif_field, caf_field, image_hw)
         decode = self._decoder_for(image_hw)
         decoded = decode(cif_field[None], caf_field[None])
         return self.decoded_to_annotations(
             type(decoded)(*[x[0] for x in decoded]))
+
+    def _debug_visualize(self, cif_field, caf_field, image_hw) -> None:
+        """Render decoder-internal debug views when --debug-indices is set.
+
+        Reference parity: visualizer hooks inside the decode call stack
+        (``visualizer/cifhr.py``, ``visualizer/seeds.py``); runs unjitted on
+        host copies and only when explicitly requested.
+        """
+        from .. import visualizer  # pylint: disable=import-outside-toplevel
+
+        if not visualizer.Base.all_indices:
+            return
+        import jax.numpy as jnp  # pylint: disable=import-outside-toplevel
+
+        from ..models.heads import split_fields  # pylint: disable=import-outside-toplevel
+
+        config = self.config_for(image_hw)
+        stride = config.stride
+        cif = split_fields(jnp.asarray(cif_field), self.cif_meta)
+        h, w = cif.conf.shape[-2:]
+        jj = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+        ii = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+        x_px = (ii + cif.vec[:, 0, 0]) * stride
+        y_px = (jj + cif.vec[:, 0, 1]) * stride
+        scale_px = cif.scale[:, 0] * stride
+
+        cif_act = np.stack([
+            np.asarray(cif.conf),
+            np.asarray(cif.vec[:, 0, 0]), np.asarray(cif.vec[:, 0, 1]),
+            np.asarray(cif.spread[:, 0]), np.asarray(cif.scale[:, 0]),
+        ], axis=1)
+        visualizer.Cif(self.cif_meta).predicted(cif_act)
+
+        caf = split_fields(jnp.asarray(caf_field), self.caf_meta)
+        caf_act = np.stack([
+            np.asarray(caf.conf),
+            np.asarray(caf.vec[:, 0, 0]), np.asarray(caf.vec[:, 0, 1]),
+            np.asarray(caf.vec[:, 1, 0]), np.asarray(caf.vec[:, 1, 1]),
+            np.asarray(caf.spread[:, 0]), np.asarray(caf.spread[:, 1]),
+            np.asarray(caf.scale[:, 0]), np.asarray(caf.scale[:, 1]),
+        ], axis=1)
+        visualizer.Caf(self.caf_meta).predicted(caf_act)
+
+        hr = cif_hr.accumulate(cif.conf, x_px, y_px, scale_px,
+                               out_hw=config.hr_hw, config=config.cifhr)
+        visualizer.CifHr(self.cif_meta).predicted(
+            np.asarray(hr), spacing=config.cifhr.spacing)
+
+        sds = seeds.select(cif.conf, x_px, y_px, scale_px, hr,
+                           hr_spacing=config.cifhr.spacing,
+                           config=config.seeds)
+        visualizer.Seeds(field_names=self.cif_meta.keypoints).predicted(
+            np.stack([np.asarray(sds.v), np.asarray(sds.f).astype(np.float32),
+                      np.asarray(sds.x), np.asarray(sds.y),
+                      np.asarray(sds.s)], axis=-1))
 
     def batch_fields(self, fields) -> List[List[Annotation]]:
         cif_fields = fields[self.cif_meta.head_index]

@@ -16,7 +16,7 @@ import logging
 import os
 import sys
 
-from . import datasets, decoder, logger, models
+from . import datasets, decoder, logger, models, visualizer
 from .predictor import Predictor
 
 LOG = logging.getLogger(__name__)
@@ -38,12 +38,14 @@ def cli(argv=None) -> argparse.Namespace:
     decoder.cli(parser)
     Predictor.cli(parser)
     datasets.cli(parser)
+    visualizer.cli(parser)
     args = parser.parse_args(argv)
 
     logger.configure(args)
     models.Factory.configure(args)
     decoder.configure(args)
     Predictor.configure(args)
+    visualizer.configure(args)
     return args
 
 

@@ -19,7 +19,7 @@ import sys
 
 import jax
 
-from . import datasets, logger, losses, models, encoder
+from . import datasets, logger, losses, models, encoder, visualizer
 from .parallel import mesh as mesh_mod
 from .training import OptimizeFactory, Trainer
 
@@ -50,6 +50,7 @@ def cli(argv=None) -> argparse.Namespace:
     OptimizeFactory.cli(parser)
     Trainer.cli(parser)
     datasets.cli(parser)
+    visualizer.cli(parser)
     args = parser.parse_args(argv)
 
     logger.configure(args)
@@ -59,6 +60,7 @@ def cli(argv=None) -> argparse.Namespace:
     OptimizeFactory.configure(args)
     Trainer.configure(args)
     datasets.configure(args)
+    visualizer.configure(args)
     if args.output is None:
         args.output = default_output_file(args)
     return args
