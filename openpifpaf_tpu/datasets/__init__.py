@@ -1,6 +1,7 @@
 """Datasets subsystem: DataModule contract, registry, loaders, collate."""
 
 from .collate import (collate_images_anns_meta, collate_images_targets_meta,
+                      collate_tracking_images_anns_meta,
                       collate_tracking_images_targets_meta)
 from .factory import DATAMODULES, cli, configure, factory
 from .loader import Dataset, ImageList, Loader, NumpyImageList
@@ -9,6 +10,7 @@ from .multimodule import MultiDataModule
 
 __all__ = [
     'collate_images_anns_meta', 'collate_images_targets_meta',
+    'collate_tracking_images_anns_meta',
     'collate_tracking_images_targets_meta',
     'DATAMODULES', 'cli', 'configure', 'factory',
     'Dataset', 'ImageList', 'Loader', 'NumpyImageList',

@@ -34,6 +34,15 @@ def collate_images_targets_meta(batch):
     return images, targets, metas
 
 
+def collate_tracking_images_anns_meta(batch):
+    """Eval collate for frame pairs: interleaved (2B, H, W, 3) images with
+    the current frame's ground truth annotations per pair."""
+    images = np.concatenate([np.stack(b[0]) for b in batch]).astype(np.float32)
+    anns = [b[1] for b in batch]
+    metas = [b[2] for b in batch]
+    return images, anns, metas
+
+
 def collate_tracking_images_targets_meta(batch):
     """Frame-pair batches: images come as (2, H, W, 3) per sample and are
     flattened to an interleaved (2B, H, W, 3) batch (frame pairs adjacent),

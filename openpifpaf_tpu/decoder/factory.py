@@ -14,10 +14,12 @@ from .cifcaf import CifCaf
 from .cifdet import CifDet
 from .decoder import Decoder
 from .multi import Multi
+from .pose_similarity import PoseSimilarity
+from .tracking_pose import TrackingPose
 
 LOG = logging.getLogger(__name__)
 
-DECODERS: Set[Type[Decoder]] = {CifCaf, CifDet}
+DECODERS: Set[Type[Decoder]] = {CifCaf, CifDet, TrackingPose, PoseSimilarity}
 
 
 def cli(parser: argparse.ArgumentParser) -> None:
@@ -38,6 +40,10 @@ def factory(head_metas) -> Decoder:
     """Build the decoder(s) matching the model's head metas."""
     decoders = [d for decoder_class in DECODERS
                 for d in decoder_class.factory(head_metas)]
+    if any(isinstance(d, TrackingPose) for d in decoders):
+        # the tracking decoder subsumes the plain CifCaf decode of the
+        # same heads (reference: TrackingPose takes precedence)
+        decoders = [d for d in decoders if not type(d) is CifCaf]  # noqa: E721
     if not decoders:
         raise ValueError(
             f'no decoder found for head metas '

@@ -4,10 +4,11 @@ from .annrescaler import AnnRescaler
 from .caf import CafEncoder
 from .cif import CifEncoder
 from .cifdet import CifDetEncoder
-from .factory import Encoders, cli, configure, factory, factory_head
+from .factory import Encoders, TrackingEncoders, cli, configure, \
+    factory, factory_head
 from .tcaf import TcafEncoder
 
 __all__ = [
     'AnnRescaler', 'CafEncoder', 'CifEncoder', 'CifDetEncoder',
-    'Encoders', 'cli', 'configure', 'factory', 'factory_head', 'TcafEncoder',
+    'Encoders', 'TrackingEncoders', 'cli', 'configure', 'factory', 'factory_head', 'TcafEncoder',
 ]

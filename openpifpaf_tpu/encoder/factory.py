@@ -56,3 +56,31 @@ class Encoders:
     def __call__(self, image, anns, meta):
         targets = tuple(enc(image, anns, meta) for enc in self.encoders)
         return image, targets, meta
+
+
+class TrackingEncoders:
+    """Final training transform for frame pairs.
+
+    Reference parity: the pair handling of ``transforms/encoders.py`` with
+    the posetrack plugin — single-frame heads get per-frame targets
+    stacked on a leading pair axis (folded into the batch by the loss,
+    ``losses/composite.py``); ``Tcaf`` heads get one cross-frame target.
+    """
+
+    def __init__(self, encoders):
+        self.encoders = encoders
+
+    def __call__(self, images, anns_pair, meta):
+        import numpy as np  # pylint: disable=import-outside-toplevel
+
+        image1, image2 = images
+        anns1, anns2 = anns_pair
+        targets = []
+        for enc in self.encoders:
+            if isinstance(enc, TcafEncoder):
+                targets.append(enc(image2, (anns1, anns2), meta))
+            else:
+                t1 = enc(image1, anns1, meta)
+                t2 = enc(image2, anns2, meta)
+                targets.append({k: np.stack([t1[k], t2[k]]) for k in t1})
+        return images, tuple(targets), meta

@@ -57,6 +57,13 @@ class CompositeLoss:
         nc, nv, ns = meta.n_confidences, meta.n_vectors, meta.n_scales
         field = field.astype(jnp.float32)
 
+        if target['conf'].ndim == field.ndim:
+            # tracking: single-frame targets come as (B, 2, ...) frame pairs
+            # while the head output interleaves frames in the batch (2B, ...)
+            # (tracking_base.py); fold the pair axis into the batch.
+            target = {k: v.reshape((-1,) + v.shape[2:])
+                      for k, v in target.items()}
+
         conf_raw = field[:, :, 0, :, :] if nc == 1 \
             else field[:, :, 0:nc, :, :]
         vec_raw = field[:, :, nc:nc + 2 * nv, :, :]

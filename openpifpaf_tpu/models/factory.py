@@ -22,6 +22,7 @@ from . import checkpoint as checkpoint_mod
 from .base import BASE_FACTORIES
 from .heads import CompositeField4
 from .shell import Model, Shell
+from .tracking_base import TrackingModel, TrackingShell, is_tracking_metas
 from .. import headmeta as headmeta_mod
 from ..configurable import Configurable
 
@@ -111,8 +112,20 @@ class Factory(Configurable):
 
     def build_module(self, basenet_name: str,
                      head_metas: Sequence[headmeta_mod.Base]) -> Model:
-        """Construct the (uninitialized) Shell module + Model wrapper."""
-        spec = BASE_FACTORIES[basenet_name]
+        """Construct the (uninitialized) Shell module + Model wrapper.
+
+        Tracking models (any ``Tcaf`` head meta, or a ``t``-prefixed
+        basenet name like the reference's ``tshufflenetv2k16``) get a
+        ``TrackingShell`` over frame pairs (``tracking_base.py``).
+        """
+        tracking = is_tracking_metas(head_metas)
+        resolved_name = basenet_name
+        if basenet_name not in BASE_FACTORIES \
+                and basenet_name.startswith('t') \
+                and basenet_name[1:] in BASE_FACTORIES:
+            resolved_name = basenet_name[1:]
+            tracking = True
+        spec = BASE_FACTORIES[resolved_name]
         for meta in head_metas:
             meta.base_stride = spec.stride
             meta.upsample_stride = max(meta.upsample_stride, self.upsample_stride)
@@ -124,6 +137,13 @@ class Factory(Configurable):
                             name=f'head_{meta.dataset}_{meta.name}')
             for meta in head_metas
         ]
+        if tracking:
+            module = TrackingShell(
+                basenet=basenet, head_nets=head_nets,
+                head_paired=tuple(isinstance(m, headmeta_mod.Tcaf)
+                                  for m in head_metas))
+            return TrackingModel(module, head_metas, base_stride=spec.stride,
+                                 basenet_name=basenet_name)
         module = Shell(basenet=basenet, head_nets=head_nets, )
         return Model(module, head_metas, base_stride=spec.stride,
                      basenet_name=basenet_name)

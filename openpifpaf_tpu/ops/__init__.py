@@ -1,12 +1,14 @@
 """On-device decoder ops: the TPU-native replacement for the reference's
 C++ decoder (``src/openpifpaf/csrc/``)."""
 
-from . import caf_scored, cif_hr, common, growth, nms, pipeline, seeds
+from . import caf_scored, cif_hr, common, growth, nms, pipeline, seeds, \
+    tracking
 from .pipeline import CifCafConfig, DecodedPoses, decode_cifcaf_single, \
     make_batch_decoder
+from .tracking import TrackingConfig, make_associator
 
 __all__ = [
     'caf_scored', 'cif_hr', 'common', 'growth', 'nms', 'pipeline', 'seeds',
-    'CifCafConfig', 'DecodedPoses', 'decode_cifcaf_single',
-    'make_batch_decoder',
+    'tracking', 'CifCafConfig', 'DecodedPoses', 'decode_cifcaf_single',
+    'make_batch_decoder', 'TrackingConfig', 'make_associator',
 ]

@@ -14,6 +14,7 @@ from .image import (Blur, ColorTint, ImageToNumpy, JpegCompression,
                     IMAGENET_MEAN, IMAGENET_STD)
 from .minsize import MinSize
 from .pad import CenterPad, CenterPadTight
+from .pair import ImageToTracking, SingleImage
 from .preprocess import AnnotationCopy, Preprocess
 from .random import DeterministicEqualChoice, RandomApply, RandomChoice
 from .rotate import RotateBy90, RotateUniform
@@ -28,6 +29,7 @@ __all__ = [
     'Blur', 'ColorTint', 'ImageToNumpy', 'JpegCompression',
     'IMAGENET_MEAN', 'IMAGENET_STD', 'MinSize', 'CenterPad',
     'CenterPadTight', 'AnnotationCopy', 'Preprocess',
+    'ImageToTracking', 'SingleImage',
     'DeterministicEqualChoice', 'RandomApply', 'RandomChoice',
     'RotateBy90', 'RotateUniform', 'RescaleAbsolute', 'RescaleRelative',
     'ScaleMix', 'EVAL_TRANSFORM', 'TRAIN_TRANSFORM',

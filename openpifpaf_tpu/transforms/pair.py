@@ -1,0 +1,88 @@
+"""Frame-pair transforms for tracking training.
+
+Reference parity: ``src/openpifpaf/transforms/pair.py`` and the single-
+image-to-pseudo-tracking conversion in
+``src/openpifpaf/plugins/posetrack/cocokpst.py:~30`` — a single annotated
+image becomes a (previous, current) frame pair by applying a simulated
+camera/subject motion to a copy; track ids link the two frames' instances.
+
+Applied *after* the single-frame augmentation stack and the numpy tensor
+boundary, so the jitter operates on fixed-size float arrays.
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+
+import numpy as np
+
+from .preprocess import Preprocess, translate_annotations
+
+LOG = logging.getLogger(__name__)
+
+
+class ImageToTracking(Preprocess):
+    """(image, anns, meta) -> frame pair with simulated motion.
+
+    The input image (numpy HWC, post ``ImageToNumpy``) becomes frame t-1;
+    frame t is a translated copy (camera pan) with every instance
+    additionally shifted by a small independent offset (subject motion).
+    Track ids are assigned per instance and shared across the pair.
+    """
+
+    def __init__(self, max_shift_px: float = 16.0,
+                 max_instance_shift_px: float = 8.0, seed: int = None):
+        self.max_shift_px = max_shift_px
+        self.max_instance_shift_px = max_instance_shift_px
+        self.rng = np.random.default_rng(seed)
+
+    @staticmethod
+    def _shift_image(image: np.ndarray, dx: int, dy: int) -> np.ndarray:
+        out = np.zeros_like(image)
+        h, w = image.shape[:2]
+        sx0, sx1 = max(0, -dx), min(w, w - dx)
+        sy0, sy1 = max(0, -dy), min(h, h - dy)
+        out[sy0 + dy:sy1 + dy, sx0 + dx:sx1 + dx] = image[sy0:sy1, sx0:sx1]
+        return out
+
+    def __call__(self, image, anns, meta):
+        image = np.asarray(image)
+        anns1 = list(anns)
+        for track_id, ann in enumerate(anns1):
+            if getattr(ann, 'id_', -1) < 0:
+                ann.id_ = track_id
+
+        dx = int(self.rng.uniform(-self.max_shift_px, self.max_shift_px))
+        dy = int(self.rng.uniform(-self.max_shift_px, self.max_shift_px))
+        image2 = self._shift_image(image, dx, dy)
+        anns2 = copy.deepcopy(anns1)
+        translate_annotations(anns2, dx, dy)
+        h, w = image.shape[:2]
+        for ann in anns2:
+            jitter = self.rng.uniform(-self.max_instance_shift_px,
+                                      self.max_instance_shift_px, size=2)
+            translate_annotations([ann], jitter[0], jitter[1])
+            # mark out-of-frame keypoints invisible in frame t
+            out = ((ann.data[:, 0] < 0) | (ann.data[:, 0] >= w)
+                   | (ann.data[:, 1] < 0) | (ann.data[:, 1] >= h))
+            ann.data[out, 2] = 0.0
+
+        meta = Preprocess.init_meta(image, meta)
+        return [image, image2], [anns1, anns2], meta
+
+
+class SingleImage(Preprocess):
+    """Apply a single-frame transform to each frame of a pair."""
+
+    def __init__(self, transform: Preprocess):
+        self.transform = transform
+
+    def __call__(self, images, anns_pair, meta):
+        out_images, out_anns = [], []
+        out_meta = meta
+        for image, anns in zip(images, anns_pair):
+            image, anns, out_meta = self.transform(image, anns, dict(meta))
+            out_images.append(image)
+            out_anns.append(anns)
+        return out_images, out_anns, out_meta

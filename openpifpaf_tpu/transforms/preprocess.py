@@ -23,8 +23,10 @@ class Preprocess:
     @staticmethod
     def init_meta(image, meta=None) -> dict:
         meta = dict(meta) if meta else {}
-        w, h = image.size if hasattr(image, 'size') else \
-            (image.shape[1], image.shape[0])
+        if isinstance(image, np.ndarray):
+            w, h = image.shape[1], image.shape[0]
+        else:
+            w, h = image.size
         meta.setdefault('offset', np.array((0.0, 0.0)))
         meta.setdefault('scale', np.array((1.0, 1.0)))
         meta.setdefault('rotation', {'angle': 0.0, 'width': None, 'height': None})

@@ -1,0 +1,78 @@
+"""Video CLI integration test (subprocess over an image-frame directory)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import PIL.Image
+import pytest
+
+from openpifpaf_tpu import models
+from openpifpaf_tpu.plugins.posetrack.cocokpst import tracking_head_metas
+from openpifpaf_tpu.plugins.coco import constants
+
+
+@pytest.fixture(scope='module')
+def tracking_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('video')
+    head_metas = tracking_head_metas(
+        'cocokpst',
+        keypoints=constants.COCO_KEYPOINTS,
+        sigmas=constants.COCO_PERSON_SIGMAS,
+        pose=constants.COCO_UPRIGHT_POSE,
+        skeleton=constants.COCO_PERSON_SKELETON,
+        score_weights=constants.COCO_PERSON_SCORE_WEIGHTS)
+    factory = models.Factory(base_name='tshufflenetv2k16', bf16=False)
+    model = factory.from_scratch('tshufflenetv2k16', head_metas)
+    model.init(jax.random.key(0))
+    ckpt = tmp / 'tracking.npz'
+    models.checkpoint.save(
+        str(ckpt), variables=jax.tree.map(np.asarray, model.variables),
+        head_metas=model.head_metas, basenet_name='tshufflenetv2k16',
+        base_stride=16)
+
+    frames = tmp / 'frames'
+    frames.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (80, 120, 3), np.uint8), 'RGB').save(
+            str(frames / f'{i:03d}.jpg'))
+    return str(ckpt), str(frames)
+
+
+def _run_cli(args):
+    env = dict(os.environ)
+    env['PALLAS_AXON_POOL_IPS'] = ''
+    env['JAX_PLATFORMS'] = 'cpu'
+    return subprocess.run(
+        [sys.executable, '-m', 'openpifpaf_tpu.video'] + args,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600)
+
+
+def test_video_frames_json(tracking_setup, tmp_path):
+    ckpt, frames = tracking_setup
+    json_out = tmp_path / 'preds.jsonl'
+    result = _run_cli(['--source', frames, '--checkpoint', ckpt,
+                       '--long-edge', '81',
+                       '--json-output', str(json_out)])
+    assert result.returncode == 0, result.stderr[-2000:]
+    lines = [json.loads(line) for line in json_out.read_text().splitlines()]
+    assert len(lines) == 3
+    assert all('predictions' in line for line in lines)
+
+
+def test_checkpoint_roundtrip_tracking(tracking_setup):
+    ckpt, _ = tracking_setup
+    from openpifpaf_tpu.models.tracking_base import TrackingModel
+
+    model = models.Factory(checkpoint=ckpt, bf16=False).factory()
+    assert isinstance(model, TrackingModel)
+    x = np.zeros((2, 81, 81, 3), np.float32)
+    outs = model(x)
+    assert outs[0].shape[0] == 2
+    assert outs[2].shape[0] == 1
