@@ -1,0 +1,112 @@
+"""Plugin consistency tests.
+
+Mirrors the reference ``tests/test_plugins.py`` (SURVEY.md §4): every
+registered datamodule instantiates and its head metas are consistent.
+"""
+
+import numpy as np
+import pytest
+
+from openpifpaf_tpu import headmeta
+from openpifpaf_tpu.datasets import DATAMODULES, factory
+
+
+EXPECTED = ['animal', 'apollo', 'cifar10', 'cocodet', 'cocokp', 'cocokpst',
+            'crowdpose', 'posetrack2018', 'toykp', 'toykpst', 'wholebody']
+
+
+def test_registry_contains_expected():
+    for name in EXPECTED:
+        assert name in DATAMODULES, f'{name} not registered'
+
+
+@pytest.mark.parametrize('name', EXPECTED)
+def test_datamodule_instantiates(name):
+    dm = factory(name)
+    assert dm.head_metas, name
+    for meta in dm.head_metas:
+        assert meta.dataset == name or name in ('toykp',), \
+            (name, meta.dataset)
+
+
+@pytest.mark.parametrize('name', EXPECTED)
+def test_head_meta_consistency(name):
+    dm = factory(name)
+    for meta in dm.head_metas:
+        if isinstance(meta, headmeta.Cif):
+            assert len(meta.keypoints) == len(meta.sigmas)
+            assert meta.n_fields == len(meta.keypoints)
+            if meta.pose is not None:
+                assert np.asarray(meta.pose).shape == \
+                    (len(meta.keypoints), 3)
+            if meta.score_weights is not None:
+                assert len(meta.score_weights) == len(meta.keypoints)
+        elif isinstance(meta, headmeta.Caf):
+            assert meta.n_fields == len(meta.skeleton)
+            k = len(meta.keypoints)
+            for j1, j2 in meta.skeleton:
+                assert 1 <= j1 <= k and 1 <= j2 <= k, \
+                    (name, j1, j2, k)
+        elif isinstance(meta, headmeta.Tcaf):
+            assert meta.n_fields == len(meta.keypoints_single_frame)
+        elif isinstance(meta, headmeta.CifDet):
+            assert meta.n_fields == len(meta.categories)
+
+
+@pytest.mark.parametrize('name', ['cocokp', 'crowdpose', 'wholebody',
+                                  'animal', 'apollo'])
+def test_hflip_tables(name):
+    dm = factory(name)
+    cif = dm.head_metas[0]
+    import openpifpaf_tpu.plugins.crowdpose as crowdpose
+    import openpifpaf_tpu.plugins.wholebody.constants as wb
+    import openpifpaf_tpu.plugins.animalpose as animal
+    import openpifpaf_tpu.plugins.apollocar3d as apollo
+    from openpifpaf_tpu.plugins.coco import constants as coco
+
+    tables = {'cocokp': coco.HFLIP,
+              'crowdpose': crowdpose.constants.HFLIP,
+              'wholebody': wb.HFLIP,
+              'animal': animal.HFLIP,
+              'apollo': apollo.HFLIP}
+    hflip = tables[name]
+    for a, b in hflip.items():
+        assert a in cif.keypoints, (name, a)
+        assert b in cif.keypoints, (name, b)
+        assert hflip.get(b) == a, (name, a, b)  # involution
+
+
+def test_wholebody_sizes():
+    dm = factory('wholebody')
+    cif, caf = dm.head_metas
+    assert cif.n_fields == 133
+    assert caf.n_fields == len(caf.skeleton) > 120
+
+
+def test_wholebody_model_decode_stress():
+    """133-kp dense skeleton through model + decoder (SURVEY §7 step 9)."""
+    import jax
+    from openpifpaf_tpu import decoder as decoder_mod, models
+
+    dm = factory('wholebody')
+    model = models.Factory(base_name='shufflenetv2k16', bf16=False).factory(
+        head_metas=dm.head_metas, rng=jax.random.key(0))
+    x = np.zeros((1, 65, 65, 3), np.float32)
+    outs = model(x)
+    assert outs[0].shape[1] == 133
+    dec = decoder_mod.factory(model.head_metas)
+    preds = dec.batch_fields(outs)
+    assert len(preds) == 1
+
+
+def test_cifar10_loader():
+    dm = factory('cifar10')
+    type(dm).batch_size = 2
+    import jax
+    from openpifpaf_tpu import models
+
+    model = models.Factory(base_name='shufflenetv2k16', bf16=False).factory(
+        head_metas=dm.head_metas, rng=jax.random.key(0))
+    images, targets, metas = next(iter(dm.train_loader()))
+    assert images.shape == (2, 33, 33, 3)
+    assert targets[0]['conf'].shape[1] == 10
