@@ -29,6 +29,12 @@ from ..configurable import Configurable
 # register built-in backbones
 from . import shufflenetv2k  # noqa: F401  pylint: disable=unused-import
 from . import resnet  # noqa: F401  pylint: disable=unused-import
+from . import mobilenet  # noqa: F401  pylint: disable=unused-import
+from . import squeezenet  # noqa: F401  pylint: disable=unused-import
+from . import effnetv2  # noqa: F401  pylint: disable=unused-import
+from . import swin  # noqa: F401  pylint: disable=unused-import
+from . import xcit  # noqa: F401  pylint: disable=unused-import
+from . import botnet  # noqa: F401  pylint: disable=unused-import
 
 LOG = logging.getLogger(__name__)
 

@@ -56,6 +56,23 @@ def test_forward_shapes(basenet_name):
     assert outputs[0].dtype == jnp.float32
 
 
+@pytest.mark.parametrize('basenet_name', [
+    'mobilenetv2', 'mobilenetv3large', 'squeezenet', 'effnetv2s',
+    'swin_t', 'xcit_small_12', 'botnet'])
+def test_backbone_zoo_shapes(basenet_name):
+    """Every registered backbone produces stride-16 features of the
+    declared width (reference test_nets.py builds each --basenet tiny)."""
+    from openpifpaf_tpu.models.base import BASE_FACTORIES
+
+    spec = BASE_FACTORIES[basenet_name]
+    module = spec.build(norm='batchnorm', dtype=jnp.float32)
+    x = jnp.zeros((1, 49, 49, 3), jnp.float32)
+    variables = module.init(jax.random.key(0), x, train=False)
+    y = module.apply(variables, x, train=False)
+    expect_hw = (49 - 1) // spec.stride + 1
+    assert y.shape == (1, expect_hw, expect_hw, spec.out_features)
+
+
 def test_field_split_activations():
     cif, _ = _coco_metas()
     cif.base_stride = 16
