@@ -1,0 +1,154 @@
+"""Export (StableHLO) and checkpoint conversion/migration tests.
+
+Mirrors the reference ``tests/test_onnx_export.py`` strategy: export runs,
+artifact reloads, outputs match eager within tolerance; converter mapping
+tables are validated by round-trip.
+"""
+
+import subprocess
+import sys
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from openpifpaf_tpu import headmeta, models
+from openpifpaf_tpu.models import converter
+from openpifpaf_tpu.plugins.coco import constants
+
+
+def coco_metas(dataset='cocokp'):
+    cif = headmeta.Cif('cif', dataset,
+                       keypoints=constants.COCO_KEYPOINTS,
+                       sigmas=constants.COCO_PERSON_SIGMAS,
+                       score_weights=constants.COCO_PERSON_SCORE_WEIGHTS)
+    caf = headmeta.Caf('caf', dataset,
+                       keypoints=constants.COCO_KEYPOINTS,
+                       sigmas=constants.COCO_PERSON_SIGMAS,
+                       skeleton=constants.COCO_PERSON_SKELETON)
+    return [cif, caf]
+
+
+def build_model(basenet='shufflenetv2k16'):
+    factory = models.Factory(base_name=basenet, bf16=False)
+    model = factory.from_scratch(basenet, coco_metas())
+    model.init(jax.random.key(0), input_hw=(33, 33))
+    return model
+
+
+class TestStableHloExport:
+    def test_roundtrip_forward(self, tmp_path):
+        from openpifpaf_tpu.export_stablehlo import export_forward, \
+            load_exported
+
+        model = build_model()
+        exported = export_forward(model, (33, 33))
+        blob = exported.serialize()
+        path = tmp_path / 'model.stablehlo'
+        path.write_bytes(blob)
+
+        reloaded = load_exported(str(path))
+        x = np.random.default_rng(0).normal(
+            size=(1, 33, 33, 3)).astype(np.float32)
+        got = reloaded.call(x)
+        want = model(x)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-5)
+
+    def test_export_with_decoder(self):
+        from openpifpaf_tpu.export_stablehlo import export_forward
+
+        model = build_model()
+        exported = export_forward(model, (33, 33), include_decoder=True)
+        x = np.zeros((1, 33, 33, 3), np.float32)
+        out = exported.call(x)
+        assert len(out) == 5  # DecodedPoses fields
+
+
+class TestTorchConverter:
+    def test_roundtrip_shufflenet(self):
+        model = build_model('shufflenetv2k16')
+        variables = jax.tree.map(np.asarray, model.variables)
+
+        sd = converter.to_torch_state_dict(
+            variables, basenet_name='shufflenetv2k16')
+        assert any(k.startswith('base_net.conv1') for k in sd)
+        assert any(k.startswith('base_net.stage2') for k in sd)
+        assert 'head_nets.0.conv.weight' in sd
+
+        back = converter.convert_state_dict(
+            sd, basenet_name='shufflenetv2k16')
+
+        flat_orig = dict(models.checkpoint.flatten_tree(variables))
+        flat_back = dict(models.checkpoint.flatten_tree(back))
+        assert set(flat_orig) == set(flat_back)
+        for key in flat_orig:
+            np.testing.assert_array_equal(flat_orig[key], flat_back[key],
+                                          err_msg=key)
+
+    def test_roundtrip_resnet(self):
+        model = build_model('resnet50')
+        variables = jax.tree.map(np.asarray, model.variables)
+        sd = converter.to_torch_state_dict(
+            variables, basenet_name='resnet50')
+        back = converter.convert_state_dict(
+            sd, basenet_name='resnet50')
+        flat_orig = dict(models.checkpoint.flatten_tree(variables))
+        flat_back = dict(models.checkpoint.flatten_tree(back))
+        assert set(flat_orig) == set(flat_back)
+        for key in flat_orig:
+            np.testing.assert_array_equal(flat_orig[key], flat_back[key],
+                                          err_msg=key)
+
+    def test_migrate_cli_from_torch(self, tmp_path):
+        """Full path: torch-saved state dict -> migrate CLI -> loadable."""
+        torch = pytest.importorskip('torch')
+
+        model = build_model('shufflenetv2k16')
+        variables = jax.tree.map(np.asarray, model.variables)
+        sd = converter.to_torch_state_dict(
+            variables, basenet_name='shufflenetv2k16')
+        torch_path = tmp_path / 'reference.pt'
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()}, str(torch_path))
+
+        out_path = tmp_path / 'converted.npz'
+        env = dict(os.environ)
+        env['PALLAS_AXON_POOL_IPS'] = ''
+        env['JAX_PLATFORMS'] = 'cpu'
+        result = subprocess.run(
+            [sys.executable, '-m', 'openpifpaf_tpu.migrate',
+             '--from-torch', str(torch_path),
+             '--basenet', 'shufflenetv2k16', '--dataset', 'cocokp',
+             '--output', str(out_path)],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env, capture_output=True, text=True, timeout=600)
+        assert result.returncode == 0, result.stderr[-2000:]
+        assert out_path.exists()
+
+        converted = models.Factory(checkpoint=str(out_path),
+                                   bf16=False).factory()
+        x = np.random.default_rng(0).normal(
+            size=(1, 33, 33, 3)).astype(np.float32)
+        got = converted(x)
+        want = model(x)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-6)
+
+
+class TestMigrateNpz:
+    def test_format_version_roundtrip(self, tmp_path):
+        from openpifpaf_tpu.migrate import migrate_npz
+
+        model = build_model()
+        path = tmp_path / 'model.npz'
+        models.checkpoint.save(
+            str(path), variables=jax.tree.map(np.asarray, model.variables),
+            head_metas=model.head_metas, basenet_name='shufflenetv2k16',
+            base_stride=16)
+        # current-version checkpoints pass through untouched
+        out = migrate_npz(str(path))
+        assert out == str(path)
