@@ -24,6 +24,7 @@ class Decoder:
     # profiling accumulator (reference: --profile-decoder)
     last_decoder_time = 0.0
     last_nn_time = 0.0
+    profile = None  # output file for a cProfile of decode (--profile-decoder)
 
     @classmethod
     def cli(cls, parser: argparse.ArgumentParser) -> None:
@@ -49,7 +50,13 @@ class Decoder:
         self.__class__.last_nn_time = time.perf_counter() - start
 
         start = time.perf_counter()
-        result = self.batch_fields(fields)
+        if Decoder.profile:
+            from ..profiler import Profiler  # pylint: disable=import-outside-toplevel
+
+            with Profiler(out_name=Decoder.profile)():
+                result = self.batch_fields(fields)
+        else:
+            result = self.batch_fields(fields)
         self.__class__.last_decoder_time = time.perf_counter() - start
         return result
 

@@ -27,11 +27,15 @@ def cli(parser: argparse.ArgumentParser) -> None:
     group.add_argument('--decoder', default=None, nargs='+',
                        help='decoder names to instantiate '
                             '(e.g. cifcaf, cifdet); default: by head metas')
+    group.add_argument('--profile-decoder', default=None, nargs='?',
+                       const='decoder.prof',
+                       help='profile the decode step into this file')
     for decoder in DECODERS:
         decoder.cli(parser)
 
 
 def configure(args: argparse.Namespace) -> None:
+    Decoder.profile = args.profile_decoder
     for decoder in DECODERS:
         decoder.configure(args)
 

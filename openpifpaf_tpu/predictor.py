@@ -98,7 +98,13 @@ class Predictor:
             self.total_nn_time += self.last_nn_time
 
             start = time.perf_counter()
-            pred_batch = self.decoder.batch_fields(fields)
+            if decoder_mod.Decoder.profile:
+                from .profiler import Profiler  # pylint: disable=import-outside-toplevel
+
+                with Profiler(out_name=decoder_mod.Decoder.profile)():
+                    pred_batch = self.decoder.batch_fields(fields)
+            else:
+                pred_batch = self.decoder.batch_fields(fields)
             self.last_decoder_time = time.perf_counter() - start
             self.total_decoder_time += self.last_decoder_time
             self.total_images += len(meta_batch)
