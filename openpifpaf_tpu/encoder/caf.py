@@ -25,6 +25,7 @@ class CafEncoder:
     fixed_size: bool = False
     aspect_ratio: float = 0.0
     v_threshold: int = 0
+    use_native: bool = True   # C++ fast path (csrc/encoders.cpp) if built
 
     def __call__(self, image, anns, meta_info=None) -> dict:
         e = self.meta.n_fields
@@ -51,6 +52,24 @@ class CafEncoder:
         skeleton = np.asarray(self.meta.skeleton, np.int32) - 1
         sigmas = np.asarray(self.meta.sigmas, np.float32)
         pad = self.min_size / 2.0
+
+        targets = {
+            'conf': conf, 'conf_mask': conf_mask,
+            'vec': vec, 'vec_mask': vec_mask,
+            'scale': scale, 'scale_mask': scale_mask,
+        }
+
+        if self.use_native:
+            from . import native  # pylint: disable=import-outside-toplevel
+
+            inst_scales = [rescaler.scale(kps) for kps in kp_sets]
+            if native.paint_caf(kp_sets, inst_scales, sigmas, skeleton,
+                                h=h, w=w, min_size=self.min_size,
+                                v_threshold=float(self.v_threshold),
+                                conf=conf, conf_mask=conf_mask, vec=vec,
+                                vec_mask=vec_mask, scale=scale,
+                                scale_mask=scale_mask):
+                return targets
 
         for kps in kp_sets:
             inst_scale = rescaler.scale(kps)
@@ -98,8 +117,4 @@ class CafEncoder:
                 scale[ei, 1, jsel, isel] = s2
                 scale_mask[ei, :, jsel, isel] = True
 
-        return {
-            'conf': conf, 'conf_mask': conf_mask,
-            'vec': vec, 'vec_mask': vec_mask,
-            'scale': scale, 'scale_mask': scale_mask,
-        }
+        return targets

@@ -28,6 +28,7 @@ class CifEncoder:
     meta: headmeta.Cif
     side_length: int = 4
     v_threshold: int = 0      # min visibility flag to paint (0: also occluded)
+    use_native: bool = True   # C++ fast path (csrc/encoders.cpp) if built
 
     def __call__(self, image, anns, meta_info=None) -> dict:
         f = self.meta.n_fields
@@ -55,6 +56,24 @@ class CifEncoder:
         offset = (s_l - 1) / 2.0
         sigmas = np.asarray(self.meta.sigmas, np.float32)
 
+        targets = {
+            'conf': conf, 'conf_mask': conf_mask,
+            'vec': vec, 'vec_mask': vec_mask,
+            'scale': scale, 'scale_mask': scale_mask,
+        }
+
+        if self.use_native:
+            from . import native  # pylint: disable=import-outside-toplevel
+
+            inst_scales = [rescaler.scale(kps) for kps in kp_sets]
+            if native.paint_cif(kp_sets, inst_scales, sigmas, h=h, w=w,
+                                side_length=s_l,
+                                v_threshold=float(self.v_threshold),
+                                conf=conf, conf_mask=conf_mask, vec=vec,
+                                vec_mask=vec_mask, scale=scale,
+                                scale_mask=scale_mask):
+                return targets
+
         for kps in kp_sets:
             inst_scale = rescaler.scale(kps)
             for fi in range(f):
@@ -78,8 +97,4 @@ class CifEncoder:
                         vec_mask[fi, 0, j, i] = True
                         scale[fi, 0, j, i] = joint_scale
                         scale_mask[fi, 0, j, i] = joint_scale > 0
-        return {
-            'conf': conf, 'conf_mask': conf_mask,
-            'vec': vec, 'vec_mask': vec_mask,
-            'scale': scale, 'scale_mask': scale_mask,
-        }
+        return targets
