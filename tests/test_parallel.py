@@ -1,0 +1,104 @@
+"""Multi-device parity and scaling-harness tests (virtual 8-CPU mesh).
+
+SURVEY.md §4: the reference has no real distributed testing; this framework
+adds single-vs-multi-device parity on the same global batch (gradient psum
+determinism) and exercises the scaling harness mechanics in CI.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from openpifpaf_tpu.parallel.dryrun import build_tiny_model
+
+
+def _loss_and_grads(n_devices: int, images, targets):
+    """Jitted loss+grads over an n-device data mesh (same global batch)."""
+    model, loss_fn = build_tiny_model('shufflenetv2k16')
+    model.init(jax.random.key(0), input_hw=(33, 33))
+    devices = np.asarray(jax.devices()[:n_devices])
+    mesh = Mesh(devices.reshape(n_devices, 1), ('data', 'spatial'))
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P('data'))
+    params = jax.tree.map(lambda x: jax.device_put(x, repl),
+                          model.variables['params'])
+    batch_stats = jax.tree.map(lambda x: jax.device_put(x, repl),
+                               model.variables.get('batch_stats', {}))
+    images = jax.device_put(images, data_sh)
+    targets = jax.tree.map(
+        lambda x: jax.device_put(np.asarray(x), data_sh), targets)
+
+    def loss_of(p):
+        variables = {'params': p, 'batch_stats': batch_stats}
+        fields = model.apply(variables, images, train=False)
+        total, _ = loss_fn(fields, targets)
+        return total
+
+    with mesh:
+        total, grads = jax.jit(jax.value_and_grad(loss_of))(params)
+        jax.block_until_ready((total, grads))
+    return float(total), jax.tree.map(np.asarray, grads)
+
+
+@pytest.fixture(scope='module')
+def global_batch():
+    batch, h, w = 8, 33, 33
+    fh = fw = 3
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(batch, h, w, 3)).astype(np.float32)
+    model, _ = build_tiny_model('shufflenetv2k16')
+
+    def target_for(meta):
+        f, nv, ns = meta.n_fields, meta.n_vectors, meta.n_scales
+        return {
+            'conf': rng.uniform(0, 1, (batch, f, fh, fw))
+            .astype(np.float32).round(),
+            'conf_mask': np.ones((batch, f, fh, fw), bool),
+            'vec': rng.normal(size=(batch, f, nv, 2, fh, fw))
+            .astype(np.float32),
+            'vec_mask': np.ones((batch, f, nv, fh, fw), bool),
+            'scale': np.abs(rng.normal(size=(batch, f, ns, fh, fw)))
+            .astype(np.float32),
+            'scale_mask': np.ones((batch, f, ns, fh, fw), bool),
+        }
+
+    return images, [target_for(m) for m in model.head_metas]
+
+
+def test_single_vs_multi_device_parity(global_batch):
+    images, targets = global_batch
+    loss_1, grads_1 = _loss_and_grads(1, images, targets)
+    loss_8, grads_8 = _loss_and_grads(8, images, targets)
+
+    assert np.isfinite(loss_1)
+    np.testing.assert_allclose(loss_1, loss_8, rtol=2e-5)
+
+    flat_1 = jax.tree.leaves(grads_1)
+    flat_8 = jax.tree.leaves(grads_8)
+    assert len(flat_1) == len(flat_8)
+    for g1, g8 in zip(flat_1, flat_8):
+        np.testing.assert_allclose(g1, g8, rtol=5e-4, atol=1e-6)
+
+
+def test_scaling_harness():
+    from openpifpaf_tpu.parallel import scaling
+
+    points = scaling.sweep([1, 4], image_hw=(33, 33), batch_per_device=1,
+                           n_iters=2)
+    assert len(points) == 2
+    assert points[0].efficiency == pytest.approx(1.0)
+    assert points[1].n_devices == 4
+    assert points[1].images_per_s > 0
+
+
+def test_shard_batch_helper():
+    from openpifpaf_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.data_mesh(8)
+    batch = {'x': np.arange(16, dtype=np.float32).reshape(8, 2)}
+    placed = mesh_mod.shard_batch(mesh, batch)
+    assert placed['x'].shape == (8, 2)
+    np.testing.assert_array_equal(np.asarray(placed['x']), batch['x'])
