@@ -113,25 +113,38 @@ class VideoProcessor:
         self._forward = jax.jit(
             lambda variables, x: model.module.apply(variables, x,
                                                     train=False))
-        self.prev_processed = None
+        if self.tracking:
+            # cached-feature streaming (reference TrackingBase caches the
+            # previous frame's features, network/tracking_base.py:~60):
+            # the backbone runs on the NEW frame only; heads consume the
+            # cached pair.
+            self._backbone = jax.jit(
+                lambda variables, x: model.backbone_features(variables, x))
+            self._heads = jax.jit(
+                lambda variables, feats: model.heads_from_features(
+                    variables, feats))
+        self.prev_features = None
 
     def process(self, frame_rgb: np.ndarray):
         """-> (annotations in original frame coords, meta)."""
+        import jax.numpy as jnp  # pylint: disable=import-outside-toplevel
         import PIL.Image  # pylint: disable=import-outside-toplevel
 
         image = PIL.Image.fromarray(frame_rgb)
         processed, _, meta = self.preprocess(image, [], {})
 
         if self.tracking:
-            prev = (self.prev_processed if self.prev_processed is not None
-                    else processed)
-            batch = np.stack([prev, processed]).astype(np.float32)
-            fields = self._forward(self.model.variables, batch)
+            curr_feats = self._backbone(
+                self.model.variables, processed[None].astype(np.float32))
+            prev_feats = (self.prev_features
+                          if self.prev_features is not None else curr_feats)
+            pair = jnp.concatenate([prev_feats, curr_feats], axis=0)
+            fields = self._heads(self.model.variables, pair)
             preds = self.decoder([
                 np.asarray(fields[0]), np.asarray(fields[1]),
                 np.asarray(fields[2])[0],
             ])
-            self.prev_processed = processed
+            self.prev_features = curr_feats
         else:
             fields = self._forward(self.model.variables,
                                    processed[None].astype(np.float32))
