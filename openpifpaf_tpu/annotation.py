@@ -173,7 +173,8 @@ class Annotation(Base):
             ann.data[:, :2] = (ann.data[:, :2] - c_new) @ rot.T + c_old
 
         if meta.get('hflip', False):
-            w = meta['width_height'][0]
+            # after undoing offset/scale the frame is the original canvas
+            w = meta.get('original_width_height', meta['width_height'])[0]
             ann.data[:, 0] = -ann.data[:, 0] + (w - 1)
             if meta.get('horizontal_swap') is not None:
                 ann.data[:] = meta['horizontal_swap'](ann.data)
@@ -239,7 +240,7 @@ class AnnotationDet(Base):
         bbox[2] /= meta['scale'][0]
         bbox[3] /= meta['scale'][1]
         if meta.get('hflip', False):
-            w = meta['width_height'][0]
+            w = meta.get('original_width_height', meta['width_height'])[0]
             bbox[0] = -(bbox[0] + bbox[2]) + (w - 1)
         ann.set(self.category_id, self.score, bbox)
         return ann

@@ -5,6 +5,7 @@ from .collate import (collate_images_anns_meta, collate_images_targets_meta,
                       collate_tracking_images_targets_meta)
 from .factory import DATAMODULES, cli, configure, factory
 from .loader import Dataset, ImageList, Loader, NumpyImageList
+from .loader_with_reset import LoaderWithReset
 from .module import DataModule
 from .multimodule import MultiDataModule
 
@@ -13,6 +14,6 @@ __all__ = [
     'collate_tracking_images_anns_meta',
     'collate_tracking_images_targets_meta',
     'DATAMODULES', 'cli', 'configure', 'factory',
-    'Dataset', 'ImageList', 'Loader', 'NumpyImageList',
+    'Dataset', 'ImageList', 'Loader', 'LoaderWithReset', 'NumpyImageList',
     'DataModule', 'MultiDataModule',
 ]

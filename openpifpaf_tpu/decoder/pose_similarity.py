@@ -75,6 +75,8 @@ class PoseSimilarity(Decoder):
         self.caf_meta = caf_meta
         self.cifcaf = CifCaf(cif_meta, caf_meta)
         self.reset()
+        from ..signal_ import Signal
+        Signal.subscribe('eval_reset', self.reset)
 
     @classmethod
     def cli(cls, parser: argparse.ArgumentParser) -> None:

@@ -42,6 +42,8 @@ class TrackingPose(Decoder):
         self.cifcaf = CifCaf(cif_meta, caf_meta)
         self._associators = {}
         self.reset()
+        from ..signal_ import Signal
+        Signal.subscribe('eval_reset', self.reset)
 
     @classmethod
     def cli(cls, parser: argparse.ArgumentParser) -> None:

@@ -68,6 +68,7 @@ class Factory(Configurable):
     norm: str = 'batchnorm'
     bf16: bool = True          # compute in bfloat16 on TPU (params stay f32)
     upsample_stride: int = 1   # optional PixelShuffle in the heads
+    cross_talk: float = 0.0    # CrossTalk train augmentation (nets.py:~120)
 
     @classmethod
     def cli(cls, parser: argparse.ArgumentParser) -> None:
@@ -86,6 +87,8 @@ class Factory(Configurable):
                            help='compute in float32 instead of bfloat16')
         group.add_argument('--head-upsample-stride', default=cls.upsample_stride,
                            type=int, help='PixelShuffle factor in heads')
+        group.add_argument('--cross-talk', default=cls.cross_talk, type=float,
+                           help='[train] cross-talk batch augmentation factor')
 
     @classmethod
     def configure(cls, args: argparse.Namespace) -> None:
@@ -95,6 +98,7 @@ class Factory(Configurable):
         cls.norm = args.basenet_norm
         cls.bf16 = args.bf16
         cls.upsample_stride = args.head_upsample_stride
+        cls.cross_talk = args.cross_talk
 
     # ------------------------------------------------------------------
     @property
@@ -150,7 +154,8 @@ class Factory(Configurable):
                                   for m in head_metas))
             return TrackingModel(module, head_metas, base_stride=spec.stride,
                                  basenet_name=basenet_name)
-        module = Shell(basenet=basenet, head_nets=head_nets, )
+        module = Shell(basenet=basenet, head_nets=head_nets,
+                       cross_talk=self.cross_talk)
         return Model(module, head_metas, base_stride=spec.stride,
                      basenet_name=basenet_name)
 

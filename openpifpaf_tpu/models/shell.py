@@ -23,9 +23,14 @@ from .. import headmeta as headmeta_mod
 class Shell(nn.Module):
     basenet: nn.Module
     head_nets: Sequence[nn.Module]
+    cross_talk: float = 0.0  # reference nets.py:~120 CrossTalk augmentation
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
+        if train and self.cross_talk > 0.0:
+            # mix in a rolled copy of the batch (regularizes against
+            # batch-position-dependent features; reference CrossTalk)
+            x = x + self.cross_talk * jnp.roll(x, 1, axis=0)
         features = self.basenet(x, train)
         return [head(features, train) for head in self.head_nets]
 

@@ -16,7 +16,7 @@ import logging
 import os
 import sys
 
-from . import datasets, decoder, logger, models, visualizer
+from . import datasets, decoder, logger, models, show, visualizer
 from .predictor import Predictor
 
 LOG = logging.getLogger(__name__)
@@ -38,6 +38,7 @@ def cli(argv=None) -> argparse.Namespace:
     decoder.cli(parser)
     Predictor.cli(parser)
     datasets.cli(parser)
+    show.cli(parser)
     visualizer.cli(parser)
     args = parser.parse_args(argv)
 
@@ -45,6 +46,7 @@ def cli(argv=None) -> argparse.Namespace:
     models.Factory.configure(args)
     decoder.configure(args)
     Predictor.configure(args)
+    show.configure(args)
     visualizer.configure(args)
     return args
 

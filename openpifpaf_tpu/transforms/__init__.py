@@ -13,12 +13,14 @@ from .hflip import HFlip, HorizontalSwap
 from .image import (Blur, ColorTint, ImageToNumpy, JpegCompression,
                     IMAGENET_MEAN, IMAGENET_STD)
 from .minsize import MinSize
+from .multi_scale import MultiScale
 from .pad import CenterPad, CenterPadTight
 from .pair import ImageToTracking, SingleImage
 from .preprocess import AnnotationCopy, Preprocess
 from .random import DeterministicEqualChoice, RandomApply, RandomChoice
 from .rotate import RotateBy90, RotateUniform
 from .scale import RescaleAbsolute, RescaleRelative, ScaleMix
+from .unclipped import UnclippedArea, UnclippedSides
 
 # the tensor boundary used by all loaders
 EVAL_TRANSFORM = ImageToNumpy()
@@ -27,10 +29,11 @@ TRAIN_TRANSFORM = ImageToNumpy()
 __all__ = [
     'NormalizeAnnotations', 'Compose', 'Crop', 'HFlip', 'HorizontalSwap',
     'Blur', 'ColorTint', 'ImageToNumpy', 'JpegCompression',
-    'IMAGENET_MEAN', 'IMAGENET_STD', 'MinSize', 'CenterPad',
+    'IMAGENET_MEAN', 'IMAGENET_STD', 'MinSize', 'MultiScale', 'CenterPad',
     'CenterPadTight', 'AnnotationCopy', 'Preprocess',
     'ImageToTracking', 'SingleImage',
     'DeterministicEqualChoice', 'RandomApply', 'RandomChoice',
     'RotateBy90', 'RotateUniform', 'RescaleAbsolute', 'RescaleRelative',
-    'ScaleMix', 'EVAL_TRANSFORM', 'TRAIN_TRANSFORM',
+    'ScaleMix', 'UnclippedArea', 'UnclippedSides',
+    'EVAL_TRANSFORM', 'TRAIN_TRANSFORM',
 ]

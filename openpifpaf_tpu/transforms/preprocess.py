@@ -33,6 +33,10 @@ class Preprocess:
         meta.setdefault('valid_area', np.array((0.0, 0.0, w - 1, h - 1)))
         meta.setdefault('hflip', False)
         meta.setdefault('width_height', np.array((w, h)))
+        # first init wins: the original canvas, for inverse transforms
+        # (width_height above tracks the *current* canvas and is updated
+        # by crop/pad/rotate)
+        meta.setdefault('original_width_height', meta['width_height'])
         meta.setdefault('horizontal_swap', None)
         return meta
 

@@ -26,7 +26,7 @@ import sys
 import numpy as np
 
 from . import decoder as decoder_mod
-from . import headmeta, logger, models, transforms, visualizer
+from . import headmeta, logger, models, show, transforms, visualizer
 from .decoder.pose_similarity import PoseSimilarity
 from .decoder.tracking_pose import TrackingPose
 
@@ -165,8 +165,6 @@ def cli(argv=None) -> argparse.Namespace:
                         help='directory for annotated output frames')
     parser.add_argument('--json-output', default=None, nargs='?', const=True,
                         help='json-lines output file')
-    parser.add_argument('--video-fps', default=AnimationFps.video_fps,
-                        type=int)
     parser.add_argument('--start-frame', default=0, type=int)
     parser.add_argument('--skip-frames', default=1, type=int)
     parser.add_argument('--max-frames', default=None, type=int)
@@ -175,18 +173,16 @@ def cli(argv=None) -> argparse.Namespace:
     logger.cli(parser)
     models.Factory.cli(parser)
     decoder_mod.cli(parser)
+    show.cli(parser)
     visualizer.cli(parser)
     args = parser.parse_args(argv)
 
     logger.configure(args)
     models.Factory.configure(args)
     decoder_mod.configure(args)
+    show.configure(args)
     visualizer.configure(args)
     return args
-
-
-class AnimationFps:
-    video_fps = 10
 
 
 def main(argv=None) -> int:
