@@ -20,8 +20,15 @@ contributions are non-negative and the clip bound is constant.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    return jax.default_backend() == 'tpu'
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,6 +42,12 @@ class CifHrConfig:
     truncate: float = 1.0        # truncate blob at truncate * sigma
     spacing: int = 2             # hires grid spacing in px ("stride/2 res")
     min_scale: float = 0.0       # skip cells with predicted scale below this
+    # Alternative fused TPU kernel (pallas_cif_hr.py).  Measured on a
+    # v5e: the XLA einsum path runs near the HBM roofline (~1.8 ms for a
+    # batch-8 641px splat) and beats the Mosaic-compiled kernel (~16 ms,
+    # transcendental-bound); the kernel is kept as the template for
+    # spatially-sharded decode and future Mosaic tuning.
+    use_pallas: bool = False
 
 
 def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
@@ -63,6 +76,13 @@ def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
     y = y_px.reshape(f, n)
     sigma = jnp.maximum(config.min_sigma_px,
                         config.sigma_factor * scale_px).reshape(f, n)
+
+    if config.use_pallas and _on_tpu():
+        from .pallas_cif_hr import accumulate_pallas  # lazy: pallas import
+
+        return accumulate_pallas(v, x, y, sigma, out_hw=(hh, wh),
+                                 spacing=float(config.spacing),
+                                 truncate=config.truncate)
 
     # 1D Gaussian profiles against hires coordinates (in px)
     xs = jnp.arange(wh, dtype=jnp.float32) * config.spacing  # (Wh,)

@@ -1,0 +1,63 @@
+"""Pallas kernel tests (interpreter mode on the CPU CI mesh).
+
+The fused CifHr splat kernel must match the XLA einsum path
+(``ops/cif_hr.accumulate``) exactly — the einsum implementation is the
+oracle.  On TPU the kernel runs compiled; here it runs interpreted.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openpifpaf_tpu.ops import cif_hr
+from openpifpaf_tpu.ops.pallas_cif_hr import accumulate_pallas
+
+
+def synthetic_inputs(seed=0, f=5, h=9, w=9):
+    rng = np.random.default_rng(seed)
+    conf = rng.uniform(0, 1, (f, h, w)).astype(np.float32)
+    jj, ii = np.mgrid[0:h, 0:w].astype(np.float32)
+    x_px = ((ii[None] + rng.normal(0, 0.5, (f, h, w))) * 16.0
+            ).astype(np.float32)
+    y_px = ((jj[None] + rng.normal(0, 0.5, (f, h, w))) * 16.0
+            ).astype(np.float32)
+    scale_px = np.abs(rng.normal(30, 10, (f, h, w))).astype(np.float32)
+    return conf, x_px, y_px, scale_px
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_matches_einsum_path(seed):
+    conf, x_px, y_px, scale_px = synthetic_inputs(seed)
+    f, h, w = conf.shape
+    hh = wh = (h - 1) * 16 // 2 + 1
+    config = cif_hr.CifHrConfig(use_pallas=False)
+
+    want = np.asarray(cif_hr.accumulate(
+        jnp.asarray(conf), jnp.asarray(x_px), jnp.asarray(y_px),
+        jnp.asarray(scale_px), out_hw=(hh, wh), config=config))
+
+    n = h * w
+    mask = conf > config.v_threshold
+    v = np.where(mask, conf * config.neighbor_factor, 0.0).reshape(f, n)
+    sigma = np.maximum(config.min_sigma_px,
+                       config.sigma_factor * scale_px).reshape(f, n)
+    got = np.asarray(accumulate_pallas(
+        jnp.asarray(v), jnp.asarray(x_px.reshape(f, n)),
+        jnp.asarray(y_px.reshape(f, n)), jnp.asarray(sigma),
+        out_hw=(hh, wh), spacing=float(config.spacing),
+        truncate=config.truncate, interpret=True))
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_all_masked_cells_zero():
+    f, n = 3, 16
+    hh = wh = 40
+    out = np.asarray(accumulate_pallas(
+        jnp.zeros((f, n)), jnp.zeros((f, n)), jnp.zeros((f, n)),
+        jnp.ones((f, n)), out_hw=(hh, wh), spacing=2.0, interpret=True))
+    assert out.shape == (f, hh, wh)
+    np.testing.assert_array_equal(out, 0.0)
