@@ -50,6 +50,8 @@ class Trainer(Configurable):
     val_interval = 1
     fix_batch_norm = False
     auto_tune_mtl = False
+    remat = False             # rematerialize the forward in backward
+    orbax = False             # also write Orbax train-state checkpoints
 
     @classmethod
     def cli(cls, parser: argparse.ArgumentParser) -> None:
@@ -66,6 +68,13 @@ class Trainer(Configurable):
         group.add_argument('--fix-batch-norm', default=cls.fix_batch_norm,
                            action='store_true',
                            help='freeze batch norm statistics')
+        group.add_argument('--remat', default=cls.remat, action='store_true',
+                           help='rematerialize the forward pass in the '
+                                'backward (trade FLOPs for HBM, enables '
+                                'larger batches)')
+        group.add_argument('--orbax', default=cls.orbax, action='store_true',
+                           help='write Orbax train-state checkpoints '
+                                '(multi-host synchronized atomic commits)')
 
     @classmethod
     def configure(cls, args: argparse.Namespace) -> None:
@@ -75,6 +84,8 @@ class Trainer(Configurable):
         cls.log_interval = args.log_interval
         cls.val_interval = args.val_interval
         cls.fix_batch_norm = args.fix_batch_norm
+        cls.remat = args.remat
+        cls.orbax = args.orbax
 
     # ------------------------------------------------------------------
     def __init__(self, model, loss_fn, optimize_factory: OptimizeFactory,
@@ -125,16 +136,29 @@ class Trainer(Configurable):
         ema_decay = self.ema_decay
         fix_bn = self.fix_batch_norm
 
+        def apply_train(variables, images):
+            return model.apply(variables, images, train=True,
+                               mutable=['batch_stats'])
+
+        def apply_eval(variables, images):
+            return model.apply(variables, images, train=False)
+
+        if self.remat:
+            # trade forward recompute for activation memory; matmul outputs
+            # are kept (cheap to store, expensive to recompute on MXU)
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            apply_train = jax.checkpoint(apply_train, policy=policy)
+            apply_eval = jax.checkpoint(apply_eval, policy=policy)
+
         def loss_of(params, batch_stats, log_sigmas, images, targets, train):
             variables = {'params': params}
             if batch_stats:
                 variables['batch_stats'] = batch_stats
             if train and batch_stats and not fix_bn:
-                fields, mutated = model.apply(
-                    variables, images, train=True, mutable=['batch_stats'])
+                fields, mutated = apply_train(variables, images)
                 new_stats = mutated['batch_stats']
             else:
-                fields = model.apply(variables, images, train=False)
+                fields = apply_eval(variables, images)
                 new_stats = batch_stats
             total, comps = loss_fn(fields, targets, log_sigmas=log_sigmas)
             return total, (jnp.stack(comps), new_stats)
@@ -220,6 +244,25 @@ class Trainer(Configurable):
             basenet_name=self.model.basenet_name,
             base_stride=self.model.base_stride, epoch=epoch)
         LOG.info('checkpoint written: %s', name)
+        if self.orbax:
+            self.write_orbax_checkpoint(state, epoch)
+
+    def write_orbax_checkpoint(self, state: TrainState, epoch: int) -> None:
+        """Full train-state checkpoint via Orbax (atomic, multi-host)."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(f'{self.out}.orbax/epoch_{epoch:03d}')
+        with ocp.StandardCheckpointer() as checkpointer:
+            checkpointer.save(path, {
+                'step': state.step,
+                'params': state.params,
+                'batch_stats': state.batch_stats,
+                'ema_params': state.ema_params,
+                'opt_state': state.opt_state,
+            }, force=True)
+        LOG.info('orbax checkpoint written: %s', path)
 
     def load_train_checkpoint(self, path: str, steps_per_epoch: int):
         header, variables = checkpoint_mod.load(path)
