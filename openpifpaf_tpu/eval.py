@@ -47,12 +47,13 @@ class Evaluator:
             'decoder_time': round(self.predictor.total_decoder_time, 3),
             'images_per_second': round(self.n_images / max(1e-6, total_time), 3),
         }
+        all_values, all_labels = [], []
         for metric in self.metrics:
             metric_stats = metric.stats()
-            stats.update({
-                'stats': metric_stats['stats'],
-                'text_labels': metric_stats['text_labels'],
-            })
+            all_values += list(metric_stats['stats'])
+            all_labels += list(metric_stats['text_labels'])
+        stats['stats'] = all_values
+        stats['text_labels'] = all_labels
         return stats
 
 

@@ -136,6 +136,8 @@ class CocoKpSt(DataModule):
                       num_workers=self.loader_workers, drop_last=False)
 
     def metrics(self):
-        return [metric.Coco(
-            ground_truth_from_loader=True,
-            keypoint_oks_sigmas=coco_constants.COCO_PERSON_SIGMAS)]
+        return [
+            metric.Coco(ground_truth_from_loader=True,
+                        keypoint_oks_sigmas=coco_constants.COCO_PERSON_SIGMAS),
+            metric.PoseTrack(keypoint_oks_sigmas=coco_constants.COCO_PERSON_SIGMAS),
+        ]

@@ -207,6 +207,8 @@ class PoseTrack2018(DataModule):
                       num_workers=self.loader_workers, drop_last=False)
 
     def metrics(self):
-        return [metric.Coco(
-            ground_truth_from_loader=True,
-            keypoint_oks_sigmas=constants.SIGMAS)]
+        return [
+            metric.Coco(ground_truth_from_loader=True,
+                        keypoint_oks_sigmas=constants.SIGMAS),
+            metric.PoseTrack(keypoint_oks_sigmas=constants.SIGMAS),
+        ]

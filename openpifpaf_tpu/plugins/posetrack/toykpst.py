@@ -100,6 +100,8 @@ class ToyKpSt(DataModule):
                       num_workers=self.loader_workers, drop_last=False)
 
     def metrics(self):
-        return [metric.Coco(
-            ground_truth_from_loader=True,
-            keypoint_oks_sigmas=constants.COCO_PERSON_SIGMAS)]
+        return [
+            metric.Coco(ground_truth_from_loader=True,
+                        keypoint_oks_sigmas=constants.COCO_PERSON_SIGMAS),
+            metric.PoseTrack(keypoint_oks_sigmas=constants.COCO_PERSON_SIGMAS),
+        ]
