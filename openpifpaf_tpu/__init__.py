@@ -10,6 +10,27 @@ plugin registration at import time.
 
 __version__ = '0.1.0'
 
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: repeated CLI invocations reuse
+    compiled programs instead of paying the 20-40s TPU compile each run."""
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            'OPENPIFPAF_TPU_JAX_CACHE',
+            _os.path.expanduser('~/.cache/openpifpaf_tpu/jax_cache'))
+        if cache_dir and cache_dir != '0':
+            jax.config.update('jax_compilation_cache_dir', cache_dir)
+            jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:  # pragma: no cover - never block import
+        pass
+
+
+_enable_compilation_cache()
+
 from . import annotation
 from . import configurable
 from . import headmeta

@@ -37,7 +37,10 @@ class CifHrConfig:
 
     v_threshold: float = 0.1     # min cell confidence to splat
     neighbor_factor: float = 1.0 / 16.0  # 1/(#painted cells per keypoint)
-    min_sigma_px: float = 1.0    # lower bound on blob sigma (px)
+    # lower bound on blob sigma: one hires grid cell (= spacing px), so a
+    # low predicted scale can never shrink the blob below grid resolution
+    # (the reference's minimum is likewise one hires pixel, cif_hr.cpp)
+    min_sigma_px: float = 2.0
     sigma_factor: float = 0.5    # sigma = sigma_factor * predicted scale
     truncate: float = 1.0        # truncate blob at truncate * sigma
     spacing: int = 2             # hires grid spacing in px ("stride/2 res")
