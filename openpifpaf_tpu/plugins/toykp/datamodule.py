@@ -38,6 +38,8 @@ class ToyKpDataset(Dataset):
         k = len(constants.COCO_KEYPOINTS)
         rng = np.random.default_rng(12345)
         self.colors = rng.integers(64, 255, (k, 3))
+        # rendering is deterministic per index; cache across epochs
+        self._cache = {}
 
     def __len__(self):
         return self.n_images
@@ -74,9 +76,15 @@ class ToyKpDataset(Dataset):
             np.clip(img, 0, 255).astype(np.uint8), 'RGB')
 
     def __getitem__(self, index: int):
-        gt = self.ground_truth(index)
-        image = self.render(index, gt)
-        anns = [{'keypoints': kp, 'iscrowd': 0,
+        if index in self._cache:
+            gt, image = self._cache[index]
+        else:
+            gt = self.ground_truth(index)
+            image = self.render(index, gt)
+            self._cache[index] = (gt, image)
+        # copies: downstream transforms mutate keypoints in place and the
+        # ground truth is cached across epochs
+        anns = [{'keypoints': kp.copy(), 'iscrowd': 0,
                  'bbox': _bbox_from_kp(kp), 'category_id': 1}
                 for kp in gt]
         meta = {'dataset_index': index,
