@@ -245,9 +245,11 @@ class CifCaf(Decoder):
         image_hw = ((h - 1) * stride + 1, (w - 1) * stride + 1)
         decode = self._decoder_for(image_hw)
         decoded = decode(cif_fields, caf_fields)
+        # single device->host transfer for the whole batch, then slice
+        decoded_np = type(decoded)(*[np.asarray(x) for x in decoded])
         batch_size = cif_fields.shape[0]
         return [
             self.decoded_to_annotations(
-                type(decoded)(*[np.asarray(x)[i] for x in decoded]))
+                type(decoded)(*[x[i] for x in decoded_np]))
             for i in range(batch_size)
         ]

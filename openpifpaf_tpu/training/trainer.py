@@ -103,6 +103,27 @@ class Trainer(Configurable):
         self._val_step = None
         self._schedule = None
         self._tx = None
+        self._preempted = False
+
+    def _install_preemption_handler(self) -> None:
+        """SIGTERM -> finish the current epoch, checkpoint, exit cleanly.
+
+        SURVEY.md §5.3: the reference has no preemption handling (recovery
+        is manual restart from the last epoch checkpoint); preemptible TPU
+        jobs get a grace period on eviction, so catching SIGTERM turns it
+        into a clean resumable stop.
+        """
+        import signal
+
+        def handler(signum, frame):  # pylint: disable=unused-argument
+            LOG.warning('received signal %d: will checkpoint and stop at '
+                        'the next epoch boundary', signum)
+            self._preempted = True
+
+        try:
+            signal.signal(signal.SIGTERM, handler)
+        except ValueError:  # pragma: no cover - non-main thread
+            pass
 
     # -- state ----------------------------------------------------------
     def init_state(self, steps_per_epoch: int) -> TrainState:
@@ -285,8 +306,14 @@ class Trainer(Configurable):
         if self._tx is None:
             self.init_state(steps_per_epoch)  # build schedule/tx
         self._build_steps()
+        self._install_preemption_handler()
 
         for epoch in range(start_epoch, self.epochs):
+            if self._preempted:
+                LOG.warning('preemption: checkpointing at epoch %d and '
+                            'stopping', epoch)
+                self.write_checkpoint(state, epoch)
+                break
             state = self.train_epoch(state, train_loader, epoch,
                                      steps_per_epoch)
             if val_loader is not None and \

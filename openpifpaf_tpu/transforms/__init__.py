@@ -21,6 +21,7 @@ from .random import DeterministicEqualChoice, RandomApply, RandomChoice
 from .rotate import RotateBy90, RotateUniform
 from .scale import RescaleAbsolute, RescaleRelative, ScaleMix
 from .unclipped import UnclippedArea, UnclippedSides
+from .video import Deinterlace, ImputeNaN
 
 # the tensor boundary used by all loaders
 EVAL_TRANSFORM = ImageToNumpy()
@@ -35,5 +36,6 @@ __all__ = [
     'DeterministicEqualChoice', 'RandomApply', 'RandomChoice',
     'RotateBy90', 'RotateUniform', 'RescaleAbsolute', 'RescaleRelative',
     'ScaleMix', 'UnclippedArea', 'UnclippedSides',
+    'Deinterlace', 'ImputeNaN',
     'EVAL_TRANSFORM', 'TRAIN_TRANSFORM',
 ]

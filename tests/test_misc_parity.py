@@ -107,6 +107,57 @@ def test_loader_with_reset_signal():
     Signal.subscribers['eval_reset'].pop()
 
 
+def test_video_transforms():
+    img = np.zeros((10, 8, 3), np.float32)
+    img[1::2] = 1.0  # comb pattern
+    out, _, _ = transforms.Deinterlace()(img, [], {})
+    assert out.shape == img.shape
+    assert float(np.abs(np.diff(out[:, 0, 0])).max()) <= 1.0
+    # even lines propagate down
+    np.testing.assert_array_equal(out[0], out[1])
+
+    img2 = np.ones((4, 4, 3), np.float32)
+    img2[0, 0, 0] = np.nan
+    out2, _, _ = transforms.ImputeNaN()(img2, [], {})
+    assert np.isfinite(out2).all()
+    assert out2[0, 0, 0] == 1.0
+
+
+def test_loader_workers():
+    from openpifpaf_tpu import datasets
+
+    dm = datasets.factory('toykp')
+    type(dm).n_images = 8
+    type(dm).image_size = 81
+    type(dm).batch_size = 2
+    type(dm).loader_workers = 2
+    try:
+        # model factory attaches strides before loaders exist
+        import jax
+        from openpifpaf_tpu import models
+
+        models.Factory(base_name='shufflenetv2k16', bf16=False).factory(
+            head_metas=dm.head_metas, rng=jax.random.key(0))
+        batches = list(dm.train_loader())
+        assert len(batches) == 4
+        assert batches[0][0].shape == (2, 81, 81, 3)
+    finally:
+        type(dm).loader_workers = 0
+
+
+def test_trainer_preemption_flag():
+    from openpifpaf_tpu.training.trainer import Trainer
+
+    t = Trainer.__new__(Trainer)
+    t._preempted = False
+    t._install_preemption_handler()
+    import os
+    import signal
+
+    os.kill(os.getpid(), signal.SIGTERM)
+    assert t._preempted
+
+
 def test_show_cli_flags():
     from openpifpaf_tpu import show
     from openpifpaf_tpu.show.painters import KeypointPainter
