@@ -24,7 +24,11 @@ def _enable_compilation_cache():
             _os.path.expanduser('~/.cache/openpifpaf_tpu/jax_cache'))
         if cache_dir and cache_dir != '0':
             jax.config.update('jax_compilation_cache_dir', cache_dir)
-            jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+            # only cache expensive compiles (TPU programs); quick CPU
+            # compiles are cheaper to redo than to load with machine-flag
+            # mismatch warnings
+            jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                              5.0)
     except Exception:  # pragma: no cover - never block import
         pass
 

@@ -16,6 +16,12 @@ DATAMODULES: Dict[str, Type[DataModule]] = {}
 
 
 def factory(dataset_name: str) -> DataModule:
+    if ',' in dataset_name:
+        # multi-dataset training: --dataset=cocokp,crowdpose
+        from .multimodule import MultiDataModule
+
+        return MultiDataModule([factory(n.strip())
+                                for n in dataset_name.split(',')])
     if dataset_name not in DATAMODULES:
         raise ValueError(
             f'dataset {dataset_name!r} unknown; registered: {sorted(DATAMODULES)}')

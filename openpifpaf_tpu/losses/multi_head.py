@@ -41,8 +41,12 @@ class MultiHeadLoss:
         """
         comps = []
         for loss_fn, field, target in zip(self.losses, fields, targets):
-            comps.extend(loss_fn(field, target))
-        comps = [c for c in comps]
+            if target is None:
+                # multi-dataset training: this batch carries no targets for
+                # this head (datasets/multimodule.py pads with None)
+                comps.extend([jnp.zeros(())] * loss_fn.n_components)
+            else:
+                comps.extend(loss_fn(field, target))
 
         weighted = [lam * c for lam, c in zip(self.lambdas, comps)]
         if log_sigmas is not None:

@@ -49,10 +49,22 @@ class ToyKpDataset(Dataset):
         n_people = int(rng.integers(1, 3))
         size = self.image_size
         anns = []
+        centers = []
         for _ in range(n_people):
             scale = rng.uniform(size / 18.0, size / 9.0)
-            cx = rng.uniform(min(3 * scale, size / 2), max(size - 3 * scale, size / 2))
-            cy = rng.uniform(min(5 * scale, size / 2), max(size - 5 * scale, size / 2))
+            # separated instances: the additive renderer saturates where
+            # blobs overlap, which destroys the keypoint signal itself
+            for _attempt in range(10):
+                cx = rng.uniform(min(3 * scale, size / 2),
+                                 max(size - 3 * scale, size / 2))
+                cy = rng.uniform(min(5 * scale, size / 2),
+                                 max(size - 5 * scale, size / 2))
+                if all(np.hypot(cx - px, cy - py) > 4.0 * scale
+                       for px, py in centers):
+                    break
+            else:
+                continue
+            centers.append((cx, cy))
             pose = constants.COCO_UPRIGHT_POSE
             kp = np.zeros((17, 3), np.float32)
             kp[:, 0] = pose[:, 0] * scale / 3.0 + cx
