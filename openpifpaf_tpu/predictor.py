@@ -120,6 +120,58 @@ class Predictor:
         data = datasets.ImageList(paths, self.preprocess_factory())
         yield from self.dataset(data)
 
+    # -- multi-scale ----------------------------------------------------
+    @staticmethod
+    def merge_annotations(annotation_lists, *, sigmas=None,
+                          oks_threshold: float = 0.7):
+        """Merge per-scale annotation sets (already in original image
+        coordinates): greedy score-ordered OKS suppression.
+
+        Reference parity: multi-scale eval
+        (``transforms/multi_scale.py:~10``) merges the per-scale decodes.
+        """
+        from .decoder.pose_similarity import oks_matrix
+
+        merged = []
+        candidates = sorted((a for anns in annotation_lists for a in anns),
+                            key=lambda a: -a.score)
+        for ann in candidates:
+            if sigmas is None:
+                sig = np.full(ann.data.shape[0], 0.05, np.float32)
+            else:
+                sig = np.asarray(sigmas, np.float32)
+            if any(oks_matrix(kept.data[None], ann.data[None], sig)[0, 0]
+                   > oks_threshold for kept in merged):
+                continue
+            merged.append(ann)
+        return merged
+
+    def images_multiscale(self, paths: Sequence[str],
+                          long_edges: Sequence[int]) -> Iterator:
+        """Predict each image at several scales and merge the decodes.
+
+        Yields ``(merged_predictions, gt, meta_of_first_scale)`` per image.
+        One compiled forward+decode program per scale (static shapes).
+        """
+        meta0 = self.model.head_metas[0]
+        sigmas = getattr(meta0, 'sigmas', None)
+        per_scale = []
+        for long_edge in long_edges:
+            scale_preds = []
+            old = self.long_edge
+            self.long_edge = long_edge
+            try:
+                for pred, gt, meta in self.images(paths):
+                    scale_preds.append((pred, gt, meta))
+            finally:
+                self.long_edge = old
+            per_scale.append(scale_preds)
+
+        for image_i in range(len(per_scale[0])):
+            ann_lists = [scale[image_i][0] for scale in per_scale]
+            _, gt, meta = per_scale[0][image_i]
+            yield self.merge_annotations(ann_lists, sigmas=sigmas), gt, meta
+
     def numpy_images(self, images) -> Iterator:
         data = datasets.NumpyImageList(images, self.preprocess_factory())
         yield from self.dataset(data)

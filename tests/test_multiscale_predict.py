@@ -1,0 +1,55 @@
+"""Multi-scale prediction merging tests."""
+
+import numpy as np
+
+from openpifpaf_tpu.annotation import Annotation
+from openpifpaf_tpu.predictor import Predictor
+from openpifpaf_tpu.plugins.coco import constants
+
+
+def make_ann(offset=0.0, score=0.5):
+    ann = Annotation(constants.COCO_KEYPOINTS, constants.COCO_PERSON_SKELETON,
+                     sigmas=constants.COCO_PERSON_SIGMAS)
+    ann.data[:, 0] = constants.COCO_UPRIGHT_POSE[:, 0] * 20 + 100 + offset
+    ann.data[:, 1] = constants.COCO_UPRIGHT_POSE[:, 1] * 20 + 100
+    ann.data[:, 2] = score
+    ann.fixed_score = score
+    return ann
+
+
+def test_merge_suppresses_duplicates():
+    a = make_ann(0.0, score=0.9)
+    b = make_ann(0.5, score=0.5)    # same pose, from another scale
+    c = make_ann(200.0, score=0.4)  # different person
+    merged = Predictor.merge_annotations(
+        [[a, c], [b]], sigmas=constants.COCO_PERSON_SIGMAS)
+    assert a in merged
+    assert b not in merged
+    assert c in merged
+
+
+def test_merge_keeps_highest_score():
+    low = make_ann(0.0, score=0.3)
+    high = make_ann(0.2, score=0.8)
+    merged = Predictor.merge_annotations(
+        [[low], [high]], sigmas=constants.COCO_PERSON_SIGMAS)
+    assert merged == [high]
+
+
+def test_images_multiscale(tmp_path):
+    import jax
+    import PIL.Image
+
+    from openpifpaf_tpu import models
+    from test_export_migrate import build_model
+
+    model = build_model()
+    predictor = Predictor(model=model)
+    img_path = tmp_path / 'img.jpg'
+    PIL.Image.fromarray(
+        np.zeros((60, 80, 3), np.uint8), 'RGB').save(str(img_path))
+
+    results = list(predictor.images_multiscale([str(img_path)], [33, 49]))
+    assert len(results) == 1
+    preds, gt, meta = results[0]
+    assert isinstance(preds, list)
