@@ -43,9 +43,21 @@ class CifCaf(Decoder):
     nms_before_force_complete = False
     hr_spacing = 2
 
-    def __init__(self, cif_meta: headmeta.Cif, caf_meta: headmeta.Caf):
+    def __init__(self, cif_meta: headmeta.Cif, caf_meta: headmeta.Caf,
+                 dense_caf_meta: headmeta.Caf = None):
         self.cif_meta = cif_meta
-        self.caf_meta = caf_meta
+        self.base_caf_meta = caf_meta
+        self.dense_caf_meta = dense_caf_meta
+        if dense_caf_meta is not None and self.dense_connections:
+            # decode over the concatenated sparse+dense skeleton with the
+            # dense edges' confidence scaled (reference --dense-connections)
+            dense = dataclasses.replace(dense_caf_meta) \
+                if dataclasses.is_dataclass(dense_caf_meta) else dense_caf_meta
+            dense.decoder_confidence_scales = \
+                [self.dense_connections] * len(dense.skeleton)
+            self.caf_meta = headmeta.Caf.concatenate([caf_meta, dense])
+        else:
+            self.caf_meta = caf_meta
         self._decoders = {}  # image_hw -> jitted batched decode
 
     @classmethod
@@ -108,7 +120,18 @@ class CifCaf(Decoder):
     def factory(cls, head_metas) -> List['CifCaf']:
         if not cls.match(head_metas):
             return []
-        return [cls(head_metas[0], head_metas[1])]
+        dense = None
+        if (len(head_metas) >= 3 and isinstance(head_metas[2], headmeta.Caf)
+                and not isinstance(head_metas[2], headmeta.Tcaf)):
+            dense = head_metas[2]
+        return [cls(head_metas[0], head_metas[1], dense_caf_meta=dense)]
+
+    def _caf_field(self, fields, axis: int):
+        base = np.asarray(fields[self.base_caf_meta.head_index])
+        if self.dense_caf_meta is None or not self.dense_connections:
+            return base
+        dense = np.asarray(fields[self.dense_caf_meta.head_index])
+        return np.concatenate([base, dense], axis=axis)
 
     # ------------------------------------------------------------------
     def config_for(self, image_hw: Tuple[int, int]) -> CifCafConfig:
@@ -172,7 +195,7 @@ class CifCaf(Decoder):
     def __call__(self, fields) -> List[Annotation]:
         """Decode a single image: fields = [cif (F,5,H,W), caf (E,9,H,W)]."""
         cif_field = np.asarray(fields[self.cif_meta.head_index])
-        caf_field = np.asarray(fields[self.caf_meta.head_index])
+        caf_field = self._caf_field(fields, axis=0)
         h, w = cif_field.shape[-2:]
         stride = self.cif_meta.stride
         image_hw = ((h - 1) * stride + 1, (w - 1) * stride + 1)
@@ -239,7 +262,7 @@ class CifCaf(Decoder):
 
     def batch_fields(self, fields) -> List[List[Annotation]]:
         cif_fields = fields[self.cif_meta.head_index]
-        caf_fields = fields[self.caf_meta.head_index]
+        caf_fields = self._caf_field(fields, axis=1)
         h, w = cif_fields.shape[-2:]
         stride = self.cif_meta.stride
         image_hw = ((h - 1) * stride + 1, (w - 1) * stride + 1)

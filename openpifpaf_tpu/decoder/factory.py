@@ -34,15 +34,33 @@ def cli(parser: argparse.ArgumentParser) -> None:
         decoder.cli(parser)
 
 
+_requested_decoders = None  # names from --decoder (None = by head metas)
+
+
 def configure(args: argparse.Namespace) -> None:
+    global _requested_decoders  # pylint: disable=global-statement
     Decoder.profile = args.profile_decoder
+    _requested_decoders = ([n.lower() for n in args.decoder]
+                           if args.decoder else None)
     for decoder in DECODERS:
         decoder.configure(args)
 
 
 def factory(head_metas) -> Decoder:
-    """Build the decoder(s) matching the model's head metas."""
-    decoders = [d for decoder_class in DECODERS
+    """Build the decoder(s) matching the model's head metas.
+
+    With ``--decoder`` set, only the named decoder classes are considered
+    (reference ``decoder/factory.py:~20`` ``--decoder`` selection).
+    """
+    classes = DECODERS
+    if _requested_decoders is not None:
+        classes = [c for c in DECODERS
+                   if c.__name__.lower() in _requested_decoders]
+        if not classes:
+            raise ValueError(
+                f'--decoder {_requested_decoders} matched none of '
+                f'{sorted(c.__name__.lower() for c in DECODERS)}')
+    decoders = [d for decoder_class in classes
                 for d in decoder_class.factory(head_metas)]
     if any(isinstance(d, TrackingPose) for d in decoders):
         # the tracking decoder subsumes the plain CifCaf decode of the

@@ -142,9 +142,12 @@ class Caf(Base):
         concatenated.head_index = metas[0].head_index
         concatenated.base_stride = metas[0].base_stride
         concatenated.upsample_stride = metas[0].upsample_stride
-        w = [1.0 for _ in metas[0].skeleton]
-        for meta in metas[1:]:
-            w += [getattr(meta, 'decoder_confidence_scale', 1.0)] * len(meta.skeleton)
+        w = []
+        for meta in metas:
+            if meta.decoder_confidence_scales is not None:
+                w += list(meta.decoder_confidence_scales)
+            else:
+                w += [1.0] * len(meta.skeleton)
         concatenated.decoder_confidence_scales = w
         return concatenated
 

@@ -41,6 +41,7 @@ class CocoKp(DataModule):
     eval_long_edge = 641
     eval_orientation_invariant = 0.0
     eval_extended_scale = False
+    with_dense = False    # add the caf25 dense-connection head
 
     def __init__(self):
         cif = headmeta.Cif('cif', 'cocokp',
@@ -57,6 +58,19 @@ class CocoKp(DataModule):
         cif.upsample_stride = self.upsample_stride
         caf.upsample_stride = self.upsample_stride
         self.head_metas = [cif, caf]
+        if self.with_dense:
+            # auxiliary dense associations (reference caf25 head; decoded
+            # only with --dense-connections, decoder/cifcaf.py)
+            caf25 = headmeta.Caf(
+                'caf25', 'cocokp',
+                keypoints=constants.COCO_KEYPOINTS,
+                sigmas=constants.COCO_PERSON_SIGMAS,
+                pose=constants.COCO_UPRIGHT_POSE,
+                skeleton=constants.DENSER_COCO_PERSON_CONNECTIONS,
+                sparse_skeleton=constants.COCO_PERSON_SKELETON,
+                only_in_field_of_view=True)
+            caf25.upsample_stride = self.upsample_stride
+            self.head_metas.append(caf25)
 
     @classmethod
     def cli(cls, parser: argparse.ArgumentParser) -> None:
@@ -90,6 +104,9 @@ class CocoKp(DataModule):
                            type=int)
         group.add_argument('--coco-eval-long-edge', default=cls.eval_long_edge,
                            type=int)
+        group.add_argument('--cocokp-with-dense', dest='cocokp_with_dense',
+                           default=cls.with_dense, action='store_true',
+                           help='train the auxiliary dense caf25 head')
 
     @classmethod
     def configure(cls, args: argparse.Namespace) -> None:
@@ -106,6 +123,7 @@ class CocoKp(DataModule):
         cls.upsample_stride = args.cocokp_upsample
         cls.min_kp_anns = args.cocokp_min_kp_anns
         cls.eval_long_edge = args.coco_eval_long_edge
+        cls.with_dense = args.cocokp_with_dense
 
     def _normalize(self):
         return transforms.NormalizeAnnotations(

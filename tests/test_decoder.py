@@ -177,6 +177,53 @@ class TestTwoPeople:
         assert d.min(axis=1).max() < 6.0
 
 
+class TestDenseConnections:
+    def test_dense_decode(self):
+        """Sparse + dense CAF heads decode via --dense-connections."""
+        from openpifpaf_tpu.decoder import CifCaf
+
+        cif_meta, caf_meta = metas()
+        cif_meta.base_stride = caf_meta.base_stride = 16
+        cif_meta.head_index, caf_meta.head_index = 0, 1
+        dense_meta = headmeta.Caf(
+            'caf25', 'test', keypoints=constants.COCO_KEYPOINTS,
+            sigmas=constants.COCO_PERSON_SIGMAS,
+            skeleton=constants.DENSER_COCO_PERSON_CONNECTIONS,
+            sparse_skeleton=constants.COCO_PERSON_SKELETON)
+        dense_meta.base_stride = 16
+        dense_meta.head_index = 2
+
+        kp, scales = synthetic_pose()
+        cif, caf = build_fields([(kp, scales)])
+        dense = np.zeros(
+            (len(constants.DENSER_COCO_PERSON_CONNECTIONS), 9, 21, 21),
+            np.float32)
+        dense[:, 0] = -10.0
+        paint_caf(dense, kp, scales,
+                  constants.DENSER_COCO_PERSON_CONNECTIONS, 16)
+
+        old = CifCaf.dense_connections
+        try:
+            CifCaf.dense_connections = 1.0
+            dec = CifCaf(cif_meta, caf_meta, dense_caf_meta=dense_meta)
+            assert len(dec.caf_meta.skeleton) == 19 + len(
+                constants.DENSER_COCO_PERSON_CONNECTIONS)
+            anns = dec([cif, caf, dense])
+            assert len(anns) == 1
+            visible = anns[0].data[:, 2] > 0
+            np.testing.assert_allclose(anns[0].data[visible, :2],
+                                       kp[visible, :2], atol=3.0)
+
+            # flag off: dense head ignored, plain 19-edge decode
+            CifCaf.dense_connections = 0.0
+            dec_off = CifCaf(cif_meta, caf_meta, dense_caf_meta=dense_meta)
+            assert len(dec_off.caf_meta.skeleton) == 19
+            anns_off = dec_off([cif, caf, dense])
+            assert len(anns_off) == 1
+        finally:
+            CifCaf.dense_connections = old
+
+
 class TestBatch:
     def test_vmapped_decode(self):
         kp, scales = synthetic_pose()
