@@ -8,6 +8,7 @@ from .loader import Dataset, ImageList, Loader, NumpyImageList
 from .loader_with_reset import LoaderWithReset
 from .module import DataModule
 from .multimodule import MultiDataModule
+from .torch_dataset import TorchDatasetAdapter
 
 __all__ = [
     'collate_images_anns_meta', 'collate_images_targets_meta',
@@ -15,5 +16,5 @@ __all__ = [
     'collate_tracking_images_targets_meta',
     'DATAMODULES', 'cli', 'configure', 'factory',
     'Dataset', 'ImageList', 'Loader', 'LoaderWithReset', 'NumpyImageList',
-    'DataModule', 'MultiDataModule',
+    'DataModule', 'MultiDataModule', 'TorchDatasetAdapter',
 ]

@@ -35,6 +35,7 @@ from . import effnetv2  # noqa: F401  pylint: disable=unused-import
 from . import swin  # noqa: F401  pylint: disable=unused-import
 from . import xcit  # noqa: F401  pylint: disable=unused-import
 from . import botnet  # noqa: F401  pylint: disable=unused-import
+from . import hrformer  # noqa: F401  pylint: disable=unused-import
 
 LOG = logging.getLogger(__name__)
 

@@ -135,6 +135,26 @@ def _make(repeats, channels):
     return factory
 
 
+# Plain (torchvision-style) ShuffleNetV2: identical topology with 3x3
+# depthwise kernels; openpifpaf drops torchvision's maxpool so the total
+# stride is 16.  Reference: ``src/openpifpaf/network/basenetworks.py:~120``
+# (``ShuffleNetV2``, registered as ``shufflenetv2x1`` / ``shufflenetv2x2``).
+def _make_plain(repeats, channels):
+    def factory(norm: str = 'batchnorm', dtype=jnp.float32, **kwargs):
+        return ShuffleNetV2K(stages_repeats=repeats,
+                             stages_out_channels=channels,
+                             kernel_size=3,
+                             norm=norm, dtype=dtype, **kwargs)
+    return factory
+
+
+register_basenet(BaseNetworkSpec(
+    'shufflenetv2x1', _make_plain((4, 8, 4), (24, 116, 232, 464, 1024)),
+    stride=16, out_features=1024))
+register_basenet(BaseNetworkSpec(
+    'shufflenetv2x2', _make_plain((4, 8, 4), (24, 244, 488, 976, 2048)),
+    stride=16, out_features=2048))
+
 register_basenet(BaseNetworkSpec(
     'shufflenetv2k16', _make((4, 8, 4), (24, 348, 696, 1392, 1392)),
     stride=16, out_features=1392))

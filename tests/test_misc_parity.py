@@ -172,3 +172,51 @@ def test_show_cli_flags():
         assert KeypointPainter.show_box is True
     finally:
         KeypointPainter.line_width, KeypointPainter.show_box = old
+
+
+def test_torch_dataset_adapter():
+    """Any __len__/__getitem__ dataset flows through preprocess
+    (reference datasets/torch_dataset.py)."""
+    from openpifpaf_tpu.datasets import TorchDatasetAdapter
+
+    class FakeTorchDataset:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, index):
+            img = np.full((32, 48, 3), index * 10, np.uint8)
+            return img, [{'keypoints': [], 'bbox': [0, 0, 5, 5],
+                          'iscrowd': 0, 'category_id': 1}]
+
+    calls = []
+
+    def preprocess(image, anns, meta):
+        calls.append(meta['dataset_index'])
+        return np.asarray(image, np.float32), anns, meta
+
+    adapter = TorchDatasetAdapter(FakeTorchDataset(), preprocess)
+    assert len(adapter) == 3
+    image, anns, meta = adapter[1]
+    assert image.shape == (32, 48, 3)
+    assert anns and meta['dataset_index'] == 1 and calls == [1]
+
+    # PIL passthrough without preprocess
+    class PilDataset:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, index):
+            return PIL.Image.new('RGB', (8, 8))
+
+    image, anns, meta = TorchDatasetAdapter(PilDataset())[0]
+    assert isinstance(image, PIL.Image.Image) and anns == []
+
+
+def test_export_coreml_gated():
+    """CoreML export fails cleanly without coremltools, pointing at the
+    portable StableHLO artifact."""
+    from openpifpaf_tpu import export_coreml
+
+    with pytest.raises((RuntimeError, NotImplementedError),
+                       match='stablehlo|onnx'):
+        export_coreml.apply(None, '/tmp/never-written.mlmodel')

@@ -58,7 +58,7 @@ def test_forward_shapes(basenet_name):
 
 @pytest.mark.parametrize('basenet_name', [
     'mobilenetv2', 'mobilenetv3large', 'squeezenet', 'effnetv2s',
-    'swin_t', 'xcit_small_12', 'botnet'])
+    'swin_t', 'xcit_small_12', 'botnet', 'shufflenetv2x1', 'hrformer_s'])
 def test_backbone_zoo_shapes(basenet_name):
     """Every registered backbone produces stride-16 features of the
     declared width (reference test_nets.py builds each --basenet tiny)."""
