@@ -55,13 +55,20 @@ class CifHrConfig:
 
 def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
                scale_px: jnp.ndarray, *, out_hw, config: CifHrConfig,
-               extra_mask: jnp.ndarray = None) -> jnp.ndarray:
+               extra_mask: jnp.ndarray = None,
+               y_offset_px=0.0, clip: bool = True) -> jnp.ndarray:
     """Accumulate one CIF head into a hires grid.
 
     :param conf: (F, H, W) cell confidences in [0, 1]
     :param x_px, y_px: (F, H, W) regressed absolute target positions, px
     :param scale_px: (F, H, W) predicted keypoint scale, px
     :param out_hw: (Hh, Wh) hires grid size (static)
+    :param y_offset_px: px offset of the grid's first row — lets a device
+        evaluate only its band of output rows (spatially-sharded decode,
+        ``parallel/spatial.py``); may be a traced scalar
+    :param clip: apply the final clip-to-1.0.  Sharded callers disable it,
+        sum halo contributions across devices, then clip (clip-after-sum
+        equals the reference's clip-per-add for non-negative contributions)
     :returns: (F, Hh, Wh) accumulated confidence in [0, 1]
     """
     hh, wh = out_hw
@@ -80,7 +87,9 @@ def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
     sigma = jnp.maximum(config.min_sigma_px,
                         config.sigma_factor * scale_px).reshape(f, n)
 
-    if config.use_pallas and _on_tpu():
+    plain_grid = isinstance(y_offset_px, (int, float)) \
+        and y_offset_px == 0.0 and clip
+    if config.use_pallas and _on_tpu() and plain_grid:
         from .pallas_cif_hr import accumulate_pallas  # lazy: pallas import
 
         return accumulate_pallas(v, x, y, sigma, out_hw=(hh, wh),
@@ -89,7 +98,8 @@ def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
 
     # 1D Gaussian profiles against hires coordinates (in px)
     xs = jnp.arange(wh, dtype=jnp.float32) * config.spacing  # (Wh,)
-    ys = jnp.arange(hh, dtype=jnp.float32) * config.spacing  # (Hh,)
+    ys = jnp.arange(hh, dtype=jnp.float32) * config.spacing \
+        + y_offset_px                                        # (Hh,)
 
     dx = xs[None, None, :] - x[:, :, None]                   # (F, N, Wh)
     dy = ys[None, None, :] - y[:, :, None]                   # (F, N, Hh)
@@ -104,6 +114,8 @@ def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
     gy = gy * v[:, :, None]
     hr = jnp.einsum('fny,fnx->fyx', gy, gx,
                     preferred_element_type=jnp.float32)
+    if not clip:
+        return hr
     return jnp.clip(hr, 0.0, 1.0)
 
 

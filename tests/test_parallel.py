@@ -102,3 +102,111 @@ def test_shard_batch_helper():
     placed = mesh_mod.shard_batch(mesh, batch)
     assert placed['x'].shape == (8, 2)
     np.testing.assert_array_equal(np.asarray(placed['x']), batch['x'])
+
+
+class TestSpatialCifHr:
+    """Spatially-sharded CifHr (parallel/spatial.py) vs the single-device
+    oracle: halo composition must be exact when blobs fit the halo."""
+
+    @staticmethod
+    def _fields(f=3, h=16, w=12, stride=8, seed=0):
+        rng = np.random.default_rng(seed)
+        conf = rng.uniform(0, 1, (f, h, w)).astype(np.float32)
+        jj, ii = np.mgrid[0:h, 0:w].astype(np.float32)
+        # regressed targets near the cell centers (within one stride)
+        x_px = (ii[None] + rng.uniform(-1, 1, (f, h, w))) * stride
+        y_px = (jj[None] + rng.uniform(-1, 1, (f, h, w))) * stride
+        scale_px = rng.uniform(2.0, 8.0, (f, h, w)).astype(np.float32)
+        return (conf, x_px.astype(np.float32), y_px.astype(np.float32),
+                scale_px)
+
+    @pytest.mark.parametrize('n_bands', [2, 4])
+    def test_matches_single_device(self, n_bands):
+        from openpifpaf_tpu.ops import cif_hr
+        from openpifpaf_tpu.parallel import spatial
+
+        conf, x_px, y_px, scale_px = self._fields()
+        out_hw = (64, 48)
+        config = cif_hr.CifHrConfig()
+
+        oracle = np.asarray(cif_hr.accumulate(
+            jnp.asarray(conf), jnp.asarray(x_px), jnp.asarray(y_px),
+            jnp.asarray(scale_px), out_hw=out_hw, config=config))
+
+        devices = np.asarray(jax.devices()[:n_bands])
+        mesh = Mesh(devices.reshape(n_bands), ('spatial',))
+        sharded = spatial.sharded_cif_hr(
+            jnp.asarray(conf), jnp.asarray(x_px), jnp.asarray(y_px),
+            jnp.asarray(scale_px), mesh=mesh, out_hw=out_hw, config=config,
+            spatial=spatial.SpatialConfig(halo_px=24.0))
+
+        assert int(sharded.halo_overflow) == 0
+        np.testing.assert_allclose(np.asarray(sharded.hr), oracle,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_overflow_counter(self):
+        from openpifpaf_tpu.ops import cif_hr
+        from openpifpaf_tpu.parallel import spatial
+
+        conf, x_px, y_px, scale_px = self._fields()
+        # one huge blob that cannot fit any reasonable halo
+        scale_px[0, 8, 5] = 500.0
+        conf[0, 8, 5] = 0.9
+
+        devices = np.asarray(jax.devices()[:4])
+        mesh = Mesh(devices.reshape(4), ('spatial',))
+        sharded = spatial.sharded_cif_hr(
+            jnp.asarray(conf), jnp.asarray(x_px), jnp.asarray(y_px),
+            jnp.asarray(scale_px), mesh=mesh, out_hw=(64, 48),
+            config=cif_hr.CifHrConfig(),
+            spatial=spatial.SpatialConfig(halo_px=16.0))
+        assert int(sharded.halo_overflow) >= 1
+
+    def test_band_divisibility_errors(self):
+        from openpifpaf_tpu.ops import cif_hr
+        from openpifpaf_tpu.parallel import spatial
+
+        conf, x_px, y_px, scale_px = self._fields(h=15)
+        devices = np.asarray(jax.devices()[:2])
+        mesh = Mesh(devices.reshape(2), ('spatial',))
+        with pytest.raises(ValueError, match='divide'):
+            spatial.sharded_cif_hr(
+                jnp.asarray(conf), jnp.asarray(x_px), jnp.asarray(y_px),
+                jnp.asarray(scale_px), mesh=mesh, out_hw=(63, 48),
+                config=cif_hr.CifHrConfig())
+
+    @pytest.mark.parametrize('n_bands', [2, 4])
+    def test_sharded_seeds_match(self, n_bands):
+        from openpifpaf_tpu.ops import cif_hr, seeds as seeds_mod
+        from openpifpaf_tpu.parallel import spatial
+
+        conf, x_px, y_px, scale_px = self._fields()
+        out_hw = (64, 48)
+        hr_config = cif_hr.CifHrConfig()
+        seeds_config = seeds_mod.SeedsConfig(max_seeds=64)
+
+        cifhr = cif_hr.accumulate(
+            jnp.asarray(conf), jnp.asarray(x_px), jnp.asarray(y_px),
+            jnp.asarray(scale_px), out_hw=out_hw, config=hr_config)
+        oracle = seeds_mod.select(
+            jnp.asarray(conf), jnp.asarray(x_px), jnp.asarray(y_px),
+            jnp.asarray(scale_px), cifhr,
+            hr_spacing=float(hr_config.spacing), config=seeds_config)
+
+        devices = np.asarray(jax.devices()[:n_bands])
+        mesh = Mesh(devices.reshape(n_bands), ('spatial',))
+        sharded = spatial.sharded_seeds(
+            jnp.asarray(conf), jnp.asarray(x_px), jnp.asarray(y_px),
+            jnp.asarray(scale_px), cifhr, mesh=mesh,
+            hr_spacing=float(hr_config.spacing), config=seeds_config,
+            spatial=spatial.SpatialConfig(halo_px=24.0))
+
+        n_valid = int(np.sum(np.asarray(oracle.valid)))
+        assert n_valid > 0
+        np.testing.assert_array_equal(np.asarray(sharded.valid),
+                                      np.asarray(oracle.valid))
+        for name in ('v', 'f', 'x', 'y', 's'):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sharded, name))[:n_valid],
+                np.asarray(getattr(oracle, name))[:n_valid],
+                rtol=1e-5, atol=1e-5, err_msg=name)
