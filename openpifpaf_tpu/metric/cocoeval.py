@@ -89,6 +89,18 @@ class _ImgEval:
     gt_ignore: np.ndarray     # (G,)
 
 
+def _dt_area(dt: DtInstance, iou_type: str) -> float:
+    """Detection area for area-range ignores.
+
+    pycocotools ``loadRes`` derives keypoint-result areas from the tight
+    extent over all keypoint coordinates; bbox results use w*h.
+    """
+    if iou_type == 'keypoints' and dt.keypoints is not None:
+        x, y = dt.keypoints[:, 0], dt.keypoints[:, 1]
+        return float((x.max() - x.min()) * (y.max() - y.min()))
+    return float(dt.bbox[2] * dt.bbox[3])
+
+
 def evaluate_image(dts: List[DtInstance], gts: List[GtInstance], *,
                    sigmas: Optional[np.ndarray], area_range,
                    max_dets: int, iou_type: str) -> Optional[_ImgEval]:
@@ -141,6 +153,13 @@ def evaluate_image(dts: List[DtInstance], gts: List[GtInstance], *,
             dt_ignore[ti, di] = gt_ignore_base[best_gi]
             dt_matches[ti, di] = 1
             gt_matched[ti, best_gi] = True
+
+    # pycocotools: unmatched detections outside the area range don't count
+    # as false positives for that range
+    dt_out_of_range = np.array([
+        not (area_range[0] <= _dt_area(d, iou_type) <= area_range[1])
+        for d in dts], bool)
+    dt_ignore |= (dt_matches == 0) & dt_out_of_range[None, :]
 
     return _ImgEval(
         dt_scores=np.array([d.score for d in dts]),
