@@ -30,6 +30,10 @@ class Predictor:
     batch_size = 1
     long_edge = 641
     loader_workers: Optional[int] = None
+    # shard eval batches over all devices of a `data` mesh (reference has no
+    # multi-GPU inference; TPU-native eval scales like training does —
+    # forward AND on-device decode partition along the batch axis)
+    data_parallel = False
 
     def __init__(self, *, checkpoint: Optional[str] = None,
                  model: Optional[models.Model] = None,
@@ -49,6 +53,16 @@ class Predictor:
         self.total_decoder_time = 0.0
         self.total_images = 0
 
+        self._mesh = None
+        if self.data_parallel and jax.device_count() > 1:
+            from .parallel import mesh as mesh_mod
+
+            self._mesh = mesh_mod.data_mesh()
+            self.model.variables = mesh_mod.replicate(self._mesh,
+                                                      self.model.variables)
+            LOG.info('data-parallel eval over %d devices',
+                     self._mesh.shape['data'])
+
         self._forward = jax.jit(
             lambda variables, x: model.module.apply(variables, x, train=False))
 
@@ -60,11 +74,30 @@ class Predictor:
         group.add_argument('--predictor-batch-size', dest='predictor_batch_size',
                            default=cls.batch_size, type=int,
                            help='prediction batch size')
+        group.add_argument('--dp-eval', dest='predictor_data_parallel',
+                           default=cls.data_parallel, action='store_true',
+                           help='shard prediction batches over all devices')
 
     @classmethod
     def configure(cls, args: argparse.Namespace) -> None:
         cls.long_edge = args.long_edge
         cls.batch_size = args.predictor_batch_size
+        cls.data_parallel = args.predictor_data_parallel
+
+    def _place_batch(self, images: np.ndarray):
+        """Pad the batch to the device count and shard it over the mesh."""
+        if self._mesh is None:
+            return jax.device_put(images), images.shape[0]
+        n = self._mesh.shape['data']
+        b = images.shape[0]
+        pad = (-b) % n
+        if pad:
+            images = np.concatenate(
+                [images, np.repeat(images[-1:], pad, axis=0)], axis=0)
+        from .parallel import mesh as mesh_mod
+        placed = jax.device_put(
+            images, mesh_mod.batch_only_sharding(self._mesh))
+        return placed, b
 
     # ------------------------------------------------------------------
     def preprocess_factory(self) -> transforms.Preprocess:
@@ -93,6 +126,7 @@ class Predictor:
     def dataset_loader(self, loader) -> Iterator[Tuple[List, List, dict]]:
         for images, gt_batch, meta_batch in loader:
             start = time.perf_counter()
+            images, _ = self._place_batch(np.asarray(images))
             fields = self._forward(self.model.variables, images)
             self.last_nn_time = time.perf_counter() - start
             self.total_nn_time += self.last_nn_time

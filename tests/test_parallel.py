@@ -210,3 +210,35 @@ class TestSpatialCifHr:
                 np.asarray(getattr(sharded, name))[:n_valid],
                 np.asarray(getattr(oracle, name))[:n_valid],
                 rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_data_parallel_eval_parity():
+    """--dp-eval: sharded prediction batches must match single-device."""
+    from openpifpaf_tpu.predictor import Predictor
+    from openpifpaf_tpu.parallel.dryrun import build_tiny_model
+
+    model, _ = build_tiny_model('shufflenetv2k16')
+    model.init(jax.random.key(0), input_hw=(65, 65))
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(4, 65, 65, 3)).astype(np.float32) * 0.3
+
+    def run(data_parallel):
+        Predictor.data_parallel = data_parallel
+        Predictor.batch_size = 4
+        try:
+            predictor = Predictor(model=model)
+            placed, n = predictor._place_batch(images)
+            assert n == 4
+            fields = predictor._forward(predictor.model.variables, placed)
+            return predictor.decoder.batch_fields(fields)[:4]
+        finally:
+            Predictor.data_parallel = False
+
+    single = run(False)
+    sharded = run(True)
+    assert len(single) == len(sharded) == 4
+    for anns_s, anns_p in zip(single, sharded):
+        assert len(anns_s) == len(anns_p)
+        for a, b in zip(anns_s, anns_p):
+            np.testing.assert_allclose(a.data, b.data, rtol=1e-4, atol=1e-4)
