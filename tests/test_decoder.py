@@ -138,6 +138,48 @@ class TestCifHr:
         assert hr[f].max() > 0.3
         assert hr[f].max() <= 1.0
 
+    def test_max_active_compaction_exact(self):
+        """Top-k cell compaction == dense splat when the budget covers all
+        active cells (a painted keypoint activates ~16 cells/field)."""
+        import dataclasses
+        from openpifpaf_tpu.models.heads import split_fields
+
+        kp, scales = synthetic_pose()
+        cif, _ = build_fields([(kp, scales)])
+        cif_meta, _ = metas()
+        comp = split_fields(np.asarray(cif), cif_meta)
+
+        dense = dataclasses.replace(ops.cif_hr.CifHrConfig(), max_active=0)
+        compact = dataclasses.replace(ops.cif_hr.CifHrConfig(), max_active=64)
+        hr_dense = np.asarray(ops.cif_hr.accumulate_from_fields(
+            comp, stride=16, out_hw=(168, 168), config=dense))
+        hr_compact = np.asarray(ops.cif_hr.accumulate_from_fields(
+            comp, stride=16, out_hw=(168, 168), config=compact))
+        np.testing.assert_allclose(hr_compact, hr_dense, rtol=1e-6, atol=1e-6)
+
+    def test_max_active_truncates_weakest(self):
+        """With the budget below the active count, the weakest cells drop:
+        the result is bounded by the dense splat and keeps the peak."""
+        import dataclasses
+        from openpifpaf_tpu.models.heads import split_fields
+
+        kp, scales = synthetic_pose()
+        cif, _ = build_fields([(kp, scales)])
+        cif_meta, _ = metas()
+        comp = split_fields(np.asarray(cif), cif_meta)
+
+        dense = dataclasses.replace(ops.cif_hr.CifHrConfig(), max_active=0)
+        tiny = dataclasses.replace(ops.cif_hr.CifHrConfig(), max_active=8)
+        hr_dense = np.asarray(ops.cif_hr.accumulate_from_fields(
+            comp, stride=16, out_hw=(168, 168), config=dense))
+        hr_tiny = np.asarray(ops.cif_hr.accumulate_from_fields(
+            comp, stride=16, out_hw=(168, 168), config=tiny))
+        assert (hr_tiny <= hr_dense + 1e-6).all()
+        f = 0
+        j, i = np.unravel_index(np.argmax(hr_tiny[f]), hr_tiny[f].shape)
+        assert abs(i * 2 - kp[f, 0]) < 6
+        assert abs(j * 2 - kp[f, 1]) < 6
+
 
 class TestSingle:
     def test_decodes_one_pose(self):
