@@ -116,7 +116,8 @@ class Loader:
     def _iter_workers(self):
         with mp.Pool(self.num_workers, initializer=_worker_init,
                      initargs=(self.dataset,)) as pool:
-            flat = [int(i) for b in self._batched_indices() for i in b]
+            batches = list(self._batched_indices())
+            flat = [int(i) for b in batches for i in b]
             batch_iter = pool.imap(_worker_get, flat,
                                    chunksize=max(1, self.batch_size // 2))
             out_q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
@@ -124,9 +125,11 @@ class Loader:
 
             def produce():
                 try:
-                    while True:
-                        samples = list(itertools.islice(batch_iter, self.batch_size))
-                        if len(samples) < self.batch_size:
+                    # group by the exact batch sizes so a trailing partial
+                    # batch survives when drop_last=False
+                    for b in batches:
+                        samples = list(itertools.islice(batch_iter, len(b)))
+                        if not samples:
                             break
                         out_q.put(self.collate_fn(samples))
                 except Exception as e:  # pragma: no cover
