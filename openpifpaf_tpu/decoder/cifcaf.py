@@ -271,6 +271,14 @@ class CifCaf(Decoder):
         # single device->host transfer for the whole batch, then slice
         decoded_np = type(decoded)(*[np.asarray(x) for x in decoded])
         batch_size = cif_fields.shape[0]
+        dropped_cif = int(decoded_np.n_dropped_cif.sum())
+        dropped_caf = int(decoded_np.n_dropped_caf.sum())
+        if dropped_cif or dropped_caf:
+            LOG.warning(
+                'decode budget overflow: %d CifHr cells (raise '
+                'CifHrConfig.max_active), %d CAF candidates (raise '
+                '--decoder-max-seeds budgets) dropped in this batch',
+                dropped_cif, dropped_caf)
         return [
             self.decoded_to_annotations(
                 type(decoded)(*[x[i] for x in decoded_np]))

@@ -64,7 +64,8 @@ class CifHrConfig:
 def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
                scale_px: jnp.ndarray, *, out_hw, config: CifHrConfig,
                extra_mask: jnp.ndarray = None,
-               y_offset_px=0.0, clip: bool = True) -> jnp.ndarray:
+               y_offset_px=0.0, clip: bool = True,
+               return_overflow: bool = False):
     """Accumulate one CIF head into a hires grid.
 
     :param conf: (F, H, W) cell confidences in [0, 1]
@@ -77,7 +78,10 @@ def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
     :param clip: apply the final clip-to-1.0.  Sharded callers disable it,
         sum halo contributions across devices, then clip (clip-after-sum
         equals the reference's clip-per-add for non-negative contributions)
+    :param return_overflow: also return the () int32 count of active cells
+        dropped by ``max_active`` compaction (budget-overflow counter)
     :returns: (F, Hh, Wh) accumulated confidence in [0, 1]
+        (or ``(hr, n_dropped)`` with ``return_overflow``)
     """
     hh, wh = out_hw
     f, h, w = conf.shape
@@ -95,12 +99,15 @@ def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
     sigma = jnp.maximum(config.min_sigma_px,
                         config.sigma_factor * scale_px).reshape(f, n)
 
+    n_dropped = jnp.zeros((), jnp.int32)
     if config.max_active and config.max_active < n:
         from .common import masked_top_k  # local: avoid import cycle
 
         _, idx, valid = masked_top_k(conf.reshape(f, n), mask.reshape(f, n),
                                      config.max_active)
         take = jnp.take_along_axis
+        n_dropped = jnp.maximum(
+            0, mask.sum(dtype=jnp.int32) - valid.sum(dtype=jnp.int32))
         v = jnp.where(valid, take(v, idx, 1), 0.0)
         x = take(x, idx, 1)
         y = take(y, idx, 1)
@@ -112,9 +119,10 @@ def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
     if config.use_pallas and _on_tpu() and plain_grid:
         from .pallas_cif_hr import accumulate_pallas  # lazy: pallas import
 
-        return accumulate_pallas(v, x, y, sigma, out_hw=(hh, wh),
-                                 spacing=float(config.spacing),
-                                 truncate=config.truncate)
+        hr = accumulate_pallas(v, x, y, sigma, out_hw=(hh, wh),
+                               spacing=float(config.spacing),
+                               truncate=config.truncate)
+        return (hr, n_dropped) if return_overflow else hr
 
     # 1D Gaussian profiles against hires coordinates (in px)
     xs = jnp.arange(wh, dtype=jnp.float32) * config.spacing  # (Wh,)
@@ -134,9 +142,9 @@ def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
     gy = gy * v[:, :, None]
     hr = jnp.einsum('fny,fnx->fyx', gy, gx,
                     preferred_element_type=jnp.float32)
-    if not clip:
-        return hr
-    return jnp.clip(hr, 0.0, 1.0)
+    if clip:
+        hr = jnp.clip(hr, 0.0, 1.0)
+    return (hr, n_dropped) if return_overflow else hr
 
 
 def accumulate_from_fields(components, *, stride: int, out_hw,

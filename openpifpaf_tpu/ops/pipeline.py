@@ -50,6 +50,7 @@ class DecodedPoses(NamedTuple):
     scores: jnp.ndarray        # (..., P)
     valid: jnp.ndarray         # (..., P) bool
     n_dropped_caf: jnp.ndarray  # (...,) overflow counter (observability)
+    n_dropped_cif: jnp.ndarray  # (...,) CifHr max_active budget overflow
 
 
 def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
@@ -77,8 +78,9 @@ def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
     scale_px = cif.scale[:, 0] * stride
 
     # 1) high-res confidence accumulation (MXU splat)
-    hr = cif_hr.accumulate(cif.conf, x_px, y_px, scale_px,
-                           out_hw=config.hr_hw, config=config.cifhr)
+    hr, n_dropped_cif = cif_hr.accumulate(
+        cif.conf, x_px, y_px, scale_px, out_hw=config.hr_hw,
+        config=config.cifhr, return_overflow=True)
 
     # 2) seeds
     sds = seeds.select(cif.conf, x_px, y_px, scale_px, hr,
@@ -120,6 +122,7 @@ def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
         scores=scores,
         valid=valid,
         n_dropped_caf=cands.n_dropped,
+        n_dropped_cif=n_dropped_cif,
     )
 
 

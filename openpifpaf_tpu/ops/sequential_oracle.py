@@ -62,13 +62,13 @@ def _best_connection(q: int, x: float, y: float, sigma: float,
                      blend: bool):
     """Scalar twin of ``growth._connection_values``'s weighted_best."""
     e, d = edges.edge[q], edges.direction[q]
-    score = np.asarray(cand.score[e, d])
-    valid = np.asarray(cand.valid[e, d])
-    cxs = np.asarray(cand.x_src[e, d])
-    cys = np.asarray(cand.y_src[e, d])
-    cxt = np.asarray(cand.x_tgt[e, d])
-    cyt = np.asarray(cand.y_tgt[e, d])
-    cst = np.asarray(cand.s_tgt[e, d])
+    score = cand.score[e, d]
+    valid = cand.valid[e, d]
+    cxs = cand.x_src[e, d]
+    cys = cand.y_src[e, d]
+    cxt = cand.x_tgt[e, d]
+    cyt = cand.y_tgt[e, d]
+    cst = cand.s_tgt[e, d]
 
     d2 = (cxs - x) ** 2 + (cys - y) ** 2
     sig2 = sigma * sigma
@@ -143,8 +143,15 @@ def decode_sequential(seeds: Seeds, cand: CafCandidates,
     occupancy = Occupancy(n_keypoints, image_hw)
     poses: List[np.ndarray] = []
 
-    order = np.argsort(-np.asarray(seeds.v), kind='stable')
+    # one host transfer up front: the growth loop below indexes per scalar
+    # (per-op device round-trips would dominate otherwise)
+    seeds = Seeds(*[np.asarray(a) for a in seeds])
+    cand = CafCandidates(*[np.asarray(a) for a in cand])
+
+    order = np.argsort(-seeds.v, kind='stable')
     for si in order:
+        if len(poses) >= config.max_poses:
+            break
         if not bool(seeds.valid[si]):
             continue
         f = int(seeds.f[si])
@@ -165,6 +172,5 @@ def decode_sequential(seeds: Seeds, cand: CafCandidates,
         for k in range(n_keypoints):
             if placed[k]:
                 occupancy.set(k, pose[k, 0], pose[k, 1], pose[k, 3])
-        if len(poses) < config.max_poses:
-            poses.append(pose)
+        poses.append(pose)
     return poses

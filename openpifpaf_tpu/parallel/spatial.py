@@ -62,7 +62,8 @@ def sharded_cif_hr(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
     :param conf, x_px, y_px, scale_px: (F, H, W) as in ``cif_hr.accumulate``;
         H and ``out_hw[0]`` must divide by the ``spatial`` mesh axis size
     :param mesh: mesh containing ``spatial.axis``
-    :returns: hr with the same values as the single-device oracle wherever
+    :returns: hr with the same values as the single-device *dense* oracle
+        (``max_active=0`` — bands never compact, see ``_band``) wherever
         blob reach stays within ``halo_px``, plus the overflow counter
     """
     hh, wh = out_hw
@@ -97,9 +98,13 @@ def _band(conf, x_px, y_px, scale_px, *, axis, n_bands, hhb, wh,
     spacing = float(config.spacing)
     y0_px = (band * hhb - halo_rows) * spacing
 
+    # compaction off inside bands: a per-band top-k budget would keep a
+    # different cell set than the single-device path (breaking the exact
+    # halo-parity invariant), and banding already divides the contraction
     local = cif_hr.accumulate(
         conf, x_px, y_px, scale_px,
-        out_hw=(hhb + 2 * halo_rows, wh), config=config,
+        out_hw=(hhb + 2 * halo_rows, wh),
+        config=dataclasses.replace(config, max_active=0),
         y_offset_px=y0_px, clip=False)
 
     up_strip = local[:, :halo_rows]            # rows of band - 1

@@ -60,8 +60,14 @@ class Predictor:
             self._mesh = mesh_mod.data_mesh()
             self.model.variables = mesh_mod.replicate(self._mesh,
                                                       self.model.variables)
-            LOG.info('data-parallel eval over %d devices',
-                     self._mesh.shape['data'])
+            n = self._mesh.shape['data']
+            LOG.info('data-parallel eval over %d devices', n)
+            if self.batch_size < n:
+                LOG.warning(
+                    'batch size %d < %d devices: batches are padded with '
+                    'copies and the extra decodes discarded — set '
+                    '--predictor-batch-size >= %d for actual speedup',
+                    self.batch_size, n, n)
 
         self._forward = jax.jit(
             lambda variables, x: model.module.apply(variables, x, train=False))
@@ -85,18 +91,22 @@ class Predictor:
         cls.data_parallel = args.predictor_data_parallel
 
     def _place_batch(self, images: np.ndarray):
-        """Pad the batch to the device count and shard it over the mesh."""
+        """Pad the batch to the device count and shard it over the mesh.
+
+        Multi-host safe: each process passes its host-local batch and
+        ``shard_batch`` assembles the global array
+        (``jax.make_array_from_process_local_data``).
+        """
         if self._mesh is None:
             return jax.device_put(images), images.shape[0]
-        n = self._mesh.shape['data']
+        n_local = self._mesh.shape['data'] // jax.process_count()
         b = images.shape[0]
-        pad = (-b) % n
+        pad = (-b) % n_local
         if pad:
             images = np.concatenate(
                 [images, np.repeat(images[-1:], pad, axis=0)], axis=0)
         from .parallel import mesh as mesh_mod
-        placed = jax.device_put(
-            images, mesh_mod.batch_only_sharding(self._mesh))
+        placed = mesh_mod.shard_batch(self._mesh, images)
         return placed, b
 
     # ------------------------------------------------------------------

@@ -180,6 +180,31 @@ class TestCifHr:
         assert abs(i * 2 - kp[f, 0]) < 6
         assert abs(j * 2 - kp[f, 1]) < 6
 
+    def test_max_active_overflow_counter(self):
+        """The budget has an overflow counter (repo convention): zero when
+        everything fits, positive when active cells are dropped."""
+        import dataclasses
+        from openpifpaf_tpu.models.heads import split_fields
+
+        kp, scales = synthetic_pose()
+        cif, _ = build_fields([(kp, scales)])
+        cif_meta, _ = metas()
+        comp = split_fields(np.asarray(cif), cif_meta)
+        import jax.numpy as jnp
+        jj = jnp.arange(21, dtype=jnp.float32)[None, :, None]
+        ii = jnp.arange(21, dtype=jnp.float32)[None, None, :]
+        x_px = (ii + comp.vec[:, 0, 0]) * 16
+        y_px = (jj + comp.vec[:, 0, 1]) * 16
+        scale_px = comp.scale[:, 0] * 16
+
+        for budget, expect_drop in ((64, False), (8, True)):
+            config = dataclasses.replace(ops.cif_hr.CifHrConfig(),
+                                         max_active=budget)
+            _, dropped = ops.cif_hr.accumulate(
+                comp.conf, x_px, y_px, scale_px, out_hw=(168, 168),
+                config=config, return_overflow=True)
+            assert (int(dropped) > 0) == expect_drop, (budget, int(dropped))
+
 
 class TestSingle:
     def test_decodes_one_pose(self):

@@ -224,6 +224,7 @@ def test_data_parallel_eval_parity():
     images = rng.normal(size=(4, 65, 65, 3)).astype(np.float32) * 0.3
 
     def run(data_parallel):
+        saved = (Predictor.data_parallel, Predictor.batch_size)
         Predictor.data_parallel = data_parallel
         Predictor.batch_size = 4
         try:
@@ -233,7 +234,7 @@ def test_data_parallel_eval_parity():
             fields = predictor._forward(predictor.model.variables, placed)
             return predictor.decoder.batch_fields(fields)[:4]
         finally:
-            Predictor.data_parallel = False
+            Predictor.data_parallel, Predictor.batch_size = saved
 
     single = run(False)
     sharded = run(True)
