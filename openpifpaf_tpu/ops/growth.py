@@ -229,8 +229,8 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
     src = jnp.asarray(edges.src_kp)
     k_range = jnp.arange(k)
 
-    def body(_, state):
-        poses, placed = state
+    def body(state):
+        poses, placed, rounds_done, _ = state
         value, tx, ty, ts, new_v = _connection_values(
             poses, placed, pose_valid, cand, edges, config, kp_th, rev)
         vs = poses[:, src, 2]
@@ -265,14 +265,22 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
         poses = jnp.where(onehot[..., None],
                           new_pose_data[:, None, :], poses)
         placed = placed | onehot
-        return poses, placed
+        return poses, placed, rounds_done + 1, jnp.any(do_place)
 
-    poses, placed = jax.lax.fori_loop(0, rounds, body, (poses, placed))
+    # early exit: a round that places nothing is a fixed point, so the
+    # K-1 worst-case depth only runs when poses actually keep growing
+    def cond(state):
+        _, _, rounds_done, advanced = state
+        return (rounds_done < rounds) & advanced
+
+    poses, placed, _, _ = jax.lax.while_loop(
+        cond, body, (poses, placed, jnp.zeros((), jnp.int32),
+                     jnp.ones((), bool)))
 
     if config.force_complete:
         cfg_th = config.force_complete_threshold
-        def body_relaxed(i, state):
-            poses, placed = state
+        def body_relaxed(state):
+            poses, placed, rounds_done, _ = state
             value, tx, ty, ts, new_v = _connection_values(
                 poses, placed, pose_valid, cand, edges, config,
                 cfg_th, False)
@@ -299,8 +307,10 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
             poses = jnp.where(onehot[..., None],
                               new_pose_data[:, None, :], poses)
             placed = placed | onehot
-            return poses, placed
-        poses, placed = jax.lax.fori_loop(0, rounds, body_relaxed,
-                                          (poses, placed))
+            return poses, placed, rounds_done + 1, jnp.any(do_place)
+
+        poses, placed, _, _ = jax.lax.while_loop(
+            cond, body_relaxed, (poses, placed, jnp.zeros((), jnp.int32),
+                                 jnp.ones((), bool)))
 
     return poses, placed
