@@ -273,12 +273,13 @@ class CifCaf(Decoder):
         batch_size = cif_fields.shape[0]
         dropped_cif = int(decoded_np.n_dropped_cif.sum())
         dropped_caf = int(decoded_np.n_dropped_caf.sum())
-        if dropped_cif or dropped_caf:
+        dropped_poses = int(decoded_np.n_dropped_poses.sum())
+        if dropped_cif or dropped_caf or dropped_poses:
             LOG.warning(
-                'decode budget overflow: %d CifHr cells (raise '
-                'CifHrConfig.max_active), %d CAF candidates (raise '
-                '--decoder-max-seeds budgets) dropped in this batch',
-                dropped_cif, dropped_caf)
+                'decode budget overflow in this batch: %d CifHr cells '
+                '(raise CifHrConfig.max_active), %d CAF candidates, '
+                '%d seed poses (raise --decoder-max-poses) dropped',
+                dropped_cif, dropped_caf, dropped_poses)
         return [
             self.decoded_to_annotations(
                 type(decoded)(*[x[i] for x in decoded_np]))

@@ -83,7 +83,8 @@ def init_poses(seeds: Seeds, *, n_keypoints: int,
     Approximates the reference's occupancy check at seed consumption
     (``cifcaf.cpp:~140``): a seed is suppressed when a stronger seed of the
     same field lies within its dedup radius.  Returns
-    (poses (P,K,4) [x,y,v,scale], placed (P,K), pose_valid (P,), seed_v (P,)).
+    (poses (P,K,4) [x,y,v,scale], placed (P,K), pose_valid (P,), seed_v (P,),
+    n_dropped () int32 — surviving seeds beyond the max_poses budget).
     """
     s = seeds.v.shape[0]
     r = jnp.maximum(config.seed_dedup_radius,
@@ -113,7 +114,11 @@ def init_poses(seeds: Seeds, *, n_keypoints: int,
     poses = poses.at[rows, f, 2].set(jnp.where(sel_valid, seeds.v[order], 0.0))
     poses = poses.at[rows, f, 3].set(jnp.where(sel_valid, seeds.s[order], 0.0))
     placed = jnp.zeros((p, k), bool).at[rows, f].set(sel_valid)
-    return poses, placed, sel_valid, jnp.where(sel_valid, seeds.v[order], 0.0)
+    n_dropped = jnp.maximum(
+        0, jnp.sum(keep, dtype=jnp.int32) - jnp.sum(sel_valid,
+                                                    dtype=jnp.int32))
+    return (poses, placed, sel_valid,
+            jnp.where(sel_valid, seeds.v[order], 0.0), n_dropped)
 
 
 def _connection_values(poses, placed, pose_valid, cand: CafCandidates,

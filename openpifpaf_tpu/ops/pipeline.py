@@ -51,6 +51,7 @@ class DecodedPoses(NamedTuple):
     valid: jnp.ndarray         # (..., P) bool
     n_dropped_caf: jnp.ndarray  # (...,) overflow counter (observability)
     n_dropped_cif: jnp.ndarray  # (...,) CifHr max_active budget overflow
+    n_dropped_poses: jnp.ndarray  # (...,) seeds beyond the max_poses budget
 
 
 def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
@@ -96,7 +97,7 @@ def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
 
     # 4) parallel frontier growth
     edges = growth.directed_edges(skeleton)
-    poses, placed, pose_valid, _ = growth.init_poses(
+    poses, placed, pose_valid, _, n_dropped_poses = growth.init_poses(
         sds, n_keypoints=fk, config=config.growth)
     poses, placed = growth.grow(poses, placed, pose_valid, cands, edges,
                                 config.growth)
@@ -123,6 +124,7 @@ def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
         valid=valid,
         n_dropped_caf=cands.n_dropped,
         n_dropped_cif=n_dropped_cif,
+        n_dropped_poses=n_dropped_poses,
     )
 
 

@@ -47,7 +47,7 @@ def grow_parallel(sds, cands, skeleton, config):
     import jax.numpy as jnp
 
     edges = growth.directed_edges(skeleton)
-    poses, placed, pose_valid, _ = growth.init_poses(
+    poses, placed, pose_valid, _, _ = growth.init_poses(
         sds, n_keypoints=17, config=config)
     poses, placed = growth.grow(poses, placed, pose_valid, cands, edges,
                                 config)
