@@ -110,8 +110,13 @@ class Factory(Configurable):
                 rng: Optional[jax.Array] = None) -> Model:
         if self.checkpoint:
             model = self.from_checkpoint(self.checkpoint)
-            if head_metas is not None:
-                self._assert_head_compat(model.head_metas, head_metas)
+            if head_metas is not None \
+                    and not self._heads_match(model.head_metas, head_metas):
+                # transfer learning (reference network/factory.py:~180):
+                # keep the backbone and any same-named heads, create the
+                # rest fresh — e.g. warm-starting a tracking model
+                # (CIF+CAF+TCAF) from a single-frame checkpoint
+                model = self.transfer(model, head_metas, rng=rng)
             return model
         if not self.base_name:
             raise ValueError('either checkpoint or basenet must be given')
@@ -180,10 +185,57 @@ class Factory(Configurable):
         return model
 
     @staticmethod
-    def _assert_head_compat(loaded: Sequence[headmeta_mod.Base],
-                            wanted: Sequence[headmeta_mod.Base]) -> None:
+    def _heads_match(loaded: Sequence[headmeta_mod.Base],
+                     wanted: Sequence[headmeta_mod.Base]) -> bool:
         loaded_ids = [(type(m).__name__, m.dataset, m.name) for m in loaded]
         wanted_ids = [(type(m).__name__, m.dataset, m.name) for m in wanted]
-        if loaded_ids != wanted_ids:
-            LOG.warning('checkpoint heads %s differ from requested %s',
-                        loaded_ids, wanted_ids)
+        return loaded_ids == wanted_ids
+
+    def transfer(self, loaded: Model,
+                 head_metas: Sequence[headmeta_mod.Base],
+                 rng: Optional[jax.Array] = None) -> Model:
+        """Graft a loaded model's weights onto a model with new head metas.
+
+        The backbone always transfers; a head transfers when a loaded head
+        has the same ``meta.name`` and identical parameter shapes (dataset
+        may differ — e.g. cocokp -> cocokpst); everything else initializes
+        fresh.  Epoch resets to 0 (this starts a new training).
+        """
+        fresh = self.build_module(loaded.basenet_name, head_metas)
+        fresh.init(rng if rng is not None else jax.random.key(0))
+
+        # flax names list-held heads positionally (head_nets_<i>); align
+        # them through the metas' names (cif -> cif across datasets)
+        old_key = {m.name: f'head_nets_{j}'
+                   for j, m in enumerate(loaded.head_metas)}
+        new_name = {f'head_nets_{i}': m.name
+                    for i, m in enumerate(head_metas)}
+
+        def shapes(tree):
+            return jax.tree.map(lambda x: x.shape, tree)
+
+        transferred, fresh_keys = [], []
+        variables = {}
+        for coll, fresh_coll in fresh.variables.items():
+            old_coll = loaded.variables.get(coll, {})
+            out = dict(fresh_coll)
+            for key in fresh_coll:
+                if key in new_name:                       # a head module
+                    src = old_key.get(new_name[key])
+                    label = f'{key} ({new_name[key]})'
+                else:                                     # backbone etc.
+                    src = key if key in old_coll else None
+                    label = key
+                if src in old_coll \
+                        and shapes(old_coll[src]) == shapes(fresh_coll[key]):
+                    out[key] = old_coll[src]
+                    if coll == 'params':
+                        transferred.append(label)
+                elif coll == 'params':
+                    fresh_keys.append(label)
+            variables[coll] = out
+        fresh.variables = variables
+        fresh.epoch = 0
+        LOG.info('transfer learning: %s from checkpoint; fresh: %s',
+                 transferred, fresh_keys)
+        return fresh

@@ -13,7 +13,7 @@ import jax
 import numpy as np
 import pytest
 
-from openpifpaf_tpu import headmeta, models
+from openpifpaf_tpu import headmeta, models, ops
 from openpifpaf_tpu.models import converter
 from openpifpaf_tpu.plugins.coco import constants
 
@@ -64,7 +64,7 @@ class TestStableHloExport:
         exported = export_forward(model, (33, 33), include_decoder=True)
         x = np.zeros((1, 33, 33, 3), np.float32)
         out = exported.call(x)
-        assert len(out) == 5  # DecodedPoses fields
+        assert len(out) == len(ops.DecodedPoses._fields)
 
 
 class TestTorchConverter:

@@ -124,3 +124,56 @@ def test_channel_shuffle_matches_torch_semantics():
 
 def test_version():
     assert opt.__version__
+
+
+def test_transfer_learning_to_tracking(tmp_path):
+    """--checkpoint with new head metas grafts backbone + same-named heads
+    (reference network/factory.py:~180), here single-frame -> tracking."""
+    import jax
+    import numpy as np
+    from openpifpaf_tpu import headmeta, models
+    from openpifpaf_tpu.models.tracking_base import TrackingModel
+    from openpifpaf_tpu.plugins.coco import constants
+    from openpifpaf_tpu.plugins.posetrack.cocokpst import tracking_head_metas
+
+    kwargs = dict(keypoints=constants.COCO_KEYPOINTS,
+                  sigmas=constants.COCO_PERSON_SIGMAS,
+                  pose=constants.COCO_UPRIGHT_POSE)
+    cif = headmeta.Cif('cif', 'toykp',
+                       draw_skeleton=constants.COCO_PERSON_SKELETON,
+                       score_weights=constants.COCO_PERSON_SCORE_WEIGHTS,
+                       **kwargs)
+    caf = headmeta.Caf('caf', 'toykp',
+                       skeleton=constants.COCO_PERSON_SKELETON, **kwargs)
+    factory = models.Factory(base_name='shufflenetv2k16', bf16=False)
+    single = factory.from_scratch('shufflenetv2k16', [cif, caf])
+    single.init(jax.random.key(0), input_hw=(65, 65))
+    ckpt = str(tmp_path / 'single.npz')
+    models.checkpoint.save(
+        ckpt, variables=jax.tree.map(np.asarray, single.variables),
+        head_metas=single.head_metas, basenet_name='shufflenetv2k16',
+        base_stride=16)
+
+    tracking_metas = tracking_head_metas(
+        'toykpst', keypoints=constants.COCO_KEYPOINTS,
+        sigmas=constants.COCO_PERSON_SIGMAS,
+        pose=constants.COCO_UPRIGHT_POSE,
+        skeleton=constants.COCO_PERSON_SKELETON,
+        score_weights=constants.COCO_PERSON_SCORE_WEIGHTS)
+    transferred = models.Factory(checkpoint=ckpt, bf16=False).factory(
+        head_metas=tracking_metas, rng=jax.random.key(1))
+
+    assert isinstance(transferred, TrackingModel)
+    assert transferred.epoch == 0
+    # backbone grafted exactly
+    old_bb = jax.tree.leaves(single.variables['params']['basenet'])
+    new_bb = jax.tree.leaves(transferred.variables['params']['basenet'])
+    for a, b in zip(old_bb, new_bb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # cif head grafted across the dataset rename (head_nets_0 = cif)
+    old_cif = jax.tree.leaves(single.variables['params']['head_nets_0'])
+    new_cif = jax.tree.leaves(transferred.variables['params']['head_nets_0'])
+    for a, b in zip(old_cif, new_cif):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # tcaf head (head_nets_2) exists and is freshly initialized
+    assert 'head_nets_2' in transferred.variables['params']
