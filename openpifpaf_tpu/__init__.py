@@ -52,3 +52,31 @@ def _register_plugins():
 # subpackages that register things import lazily to keep import fast;
 # plugin registration pulls in datasets/models as needed.
 _register_plugins()
+
+# reference API parity: ``openpifpaf.Predictor`` et al. live at the package
+# top level (``src/openpifpaf/__init__.py``); resolve lazily so importing
+# the package stays fast
+_LAZY = {
+    'Predictor': ('openpifpaf_tpu.predictor', 'Predictor'),
+    'datasets': ('openpifpaf_tpu.datasets', None),
+    'decoder': ('openpifpaf_tpu.decoder', None),
+    'encoder': ('openpifpaf_tpu.encoder', None),
+    'metric': ('openpifpaf_tpu.metric', None),
+    'models': ('openpifpaf_tpu.models', None),
+    'network': ('openpifpaf_tpu.models', None),   # reference's name
+    'ops': ('openpifpaf_tpu.ops', None),
+    'show': ('openpifpaf_tpu.show', None),
+    'transforms': ('openpifpaf_tpu.transforms', None),
+    'visualizer': ('openpifpaf_tpu.visualizer', None),
+}
+
+
+def __getattr__(name):
+    try:
+        module_name, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(
+            f'module {__name__!r} has no attribute {name!r}') from None
+    import importlib
+    module = importlib.import_module(module_name)
+    return getattr(module, attr) if attr else module

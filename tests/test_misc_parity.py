@@ -220,3 +220,16 @@ def test_export_coreml_gated():
     with pytest.raises((RuntimeError, NotImplementedError),
                        match='stablehlo|onnx'):
         export_coreml.apply(None, '/tmp/never-written.mlmodel')
+
+
+def test_top_level_lazy_exports():
+    """Reference API parity: openpifpaf.Predictor etc. at the package root
+    (src/openpifpaf/__init__.py), resolved lazily."""
+    import openpifpaf_tpu as pkg
+    from openpifpaf_tpu.predictor import Predictor
+
+    assert pkg.Predictor is Predictor
+    assert pkg.network is pkg.models  # reference subpackage name
+    assert hasattr(pkg.show, 'AnnotationPainter')
+    with pytest.raises(AttributeError):
+        pkg.does_not_exist  # pylint: disable=pointless-statement
