@@ -40,6 +40,7 @@ class CifCaf(Decoder):
     max_poses = 96
     max_seeds = 512
     max_caf_candidates = 256
+    cif_hr_max_active = 1024   # CifHr compaction budget (0 = dense)
     nms_before_force_complete = False
     hr_spacing = 2
 
@@ -95,6 +96,10 @@ class CifCaf(Decoder):
                            type=int, help='static pose budget per image')
         group.add_argument('--decoder-max-seeds', default=cls.max_seeds,
                            type=int, help='static seed budget per image')
+        group.add_argument('--cifhr-max-active', default=cls.cif_hr_max_active,
+                           type=int,
+                           help='CifHr active-cell compaction budget per '
+                                'field (0 = exact dense splat)')
 
     @classmethod
     def configure(cls, args: argparse.Namespace) -> None:
@@ -109,6 +114,7 @@ class CifCaf(Decoder):
         cls.dense_connections = args.dense_connections
         cls.max_poses = args.decoder_max_poses
         cls.max_seeds = args.decoder_max_seeds
+        cls.cif_hr_max_active = args.cifhr_max_active
 
     @classmethod
     def match(cls, head_metas) -> bool:
@@ -141,7 +147,8 @@ class CifCaf(Decoder):
             cifhr=cif_hr.CifHrConfig(
                 v_threshold=self.cif_hr_v_threshold,
                 spacing=self.hr_spacing,
-                min_scale=self.cif_meta.decoder_min_scale),
+                min_scale=self.cif_meta.decoder_min_scale,
+                max_active=self.cif_hr_max_active),
             seeds=seeds.SeedsConfig(
                 threshold=self.seed_threshold,
                 max_seeds=self.max_seeds),
@@ -277,7 +284,7 @@ class CifCaf(Decoder):
         if dropped_cif or dropped_caf or dropped_poses:
             LOG.warning(
                 'decode budget overflow in this batch: %d CifHr cells '
-                '(raise CifHrConfig.max_active), %d CAF candidates, '
+                '(raise --cifhr-max-active), %d CAF candidates, '
                 '%d seed poses (raise --decoder-max-poses) dropped',
                 dropped_cif, dropped_caf, dropped_poses)
         return [

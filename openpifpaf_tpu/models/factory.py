@@ -205,11 +205,19 @@ class Factory(Configurable):
         fresh.init(rng if rng is not None else jax.random.key(0))
 
         # flax names list-held heads positionally (head_nets_<i>); align
-        # them through the metas' names (cif -> cif across datasets)
-        old_key = {m.name: f'head_nets_{j}'
-                   for j, m in enumerate(loaded.head_metas)}
-        new_name = {f'head_nets_{i}': m.name
-                    for i, m in enumerate(head_metas)}
+        # them through the metas: exact (dataset, name) match first, then
+        # by name — FIRST occurrence wins so a multi-dataset checkpoint
+        # doesn't silently graft a later dataset's same-named head
+        old_exact = {}
+        old_by_name = {}
+        for j, m in enumerate(loaded.head_metas):
+            old_exact.setdefault((m.dataset, m.name), f'head_nets_{j}')
+            old_by_name.setdefault(m.name, f'head_nets_{j}')
+        name_counts = {}
+        for m in loaded.head_metas:
+            name_counts[m.name] = name_counts.get(m.name, 0) + 1
+        ambiguous = {n for n, c in name_counts.items() if c > 1}
+        new_meta = {f'head_nets_{i}': m for i, m in enumerate(head_metas)}
 
         def shapes(tree):
             return jax.tree.map(lambda x: x.shape, tree)
@@ -220,9 +228,18 @@ class Factory(Configurable):
             old_coll = loaded.variables.get(coll, {})
             out = dict(fresh_coll)
             for key in fresh_coll:
-                if key in new_name:                       # a head module
-                    src = old_key.get(new_name[key])
-                    label = f'{key} ({new_name[key]})'
+                if key in new_meta:                       # a head module
+                    meta = new_meta[key]
+                    src = old_exact.get((meta.dataset, meta.name))
+                    if src is None:
+                        src = old_by_name.get(meta.name)
+                        if src is not None and meta.name in ambiguous \
+                                and coll == 'params':
+                            LOG.warning(
+                                'head %r matches several checkpoint heads; '
+                                'transferring the first (%s)',
+                                meta.name, src)
+                    label = f'{key} ({meta.name})'
                 else:                                     # backbone etc.
                     src = key if key in old_coll else None
                     label = key
@@ -236,6 +253,10 @@ class Factory(Configurable):
             variables[coll] = out
         fresh.variables = variables
         fresh.epoch = 0
-        LOG.info('transfer learning: %s from checkpoint; fresh: %s',
-                 transferred, fresh_keys)
+        # WARNING, not info: when this happens at eval/predict time it
+        # means scoring with randomly-initialized heads — the user must see
+        # it (the reference warned on head mismatch, network/factory.py)
+        log = LOG.warning if fresh_keys else LOG.info
+        log('transfer learning: %s from checkpoint; FRESH (random) '
+            'weights: %s', transferred, fresh_keys)
         return fresh

@@ -77,7 +77,8 @@ def directed_edges(skeleton: np.ndarray) -> DirectedEdges:
 
 def init_poses(seeds: Seeds, *, n_keypoints: int,
                config: GrowthConfig) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                              jnp.ndarray, jnp.ndarray]:
+                                              jnp.ndarray, jnp.ndarray,
+                                              jnp.ndarray]:
     """Seed dedup + pose initialization.
 
     Approximates the reference's occupancy check at seed consumption
@@ -234,43 +235,51 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
     src = jnp.asarray(edges.src_kp)
     k_range = jnp.arange(k)
 
-    def body(state):
-        poses, placed, rounds_done, _ = state
-        value, tx, ty, ts, new_v = _connection_values(
-            poses, placed, pose_valid, cand, edges, config, kp_th, rev)
-        vs = poses[:, src, 2]
-        ok = (new_v > kp_th) & (new_v > config.keypoint_threshold_rel * vs)
-        conn = jnp.where(ok, value, 0.0)          # (P, Q)
+    def make_body(threshold: float, rel: float, reverse: bool):
+        """One relaxation-round body; the force-complete pass is the same
+        body with a relaxed threshold, no relative gate and no reverse
+        match (reference cifcaf.cpp:~380)."""
 
-        # best incoming directed edge per joint: (P, K)
-        tgt_mask = tgt[:, None] == k_range[None, :]          # (Q, K)
-        conn_qk = jnp.where(tgt_mask[None], conn[:, :, None], 0.0)
-        best_q = jnp.argmax(conn_qk, axis=1)                 # (P, K)
-        best_v = jnp.max(conn_qk, axis=1)                    # (P, K)
+        def body(state):
+            poses, placed, rounds_done, _ = state
+            value, tx, ty, ts, new_v = _connection_values(
+                poses, placed, pose_valid, cand, edges, config, threshold,
+                reverse)
+            vs = poses[:, src, 2]
+            ok = (new_v > threshold) & (new_v > rel * vs)
+            conn = jnp.where(ok, value, 0.0)          # (P, Q)
 
-        take = jnp.take_along_axis
-        jx = take(tx, best_q, 1)
-        jy = take(ty, best_q, 1)
-        js = take(ts, best_q, 1)
-        jv = take(new_v, best_q, 1)
+            # best incoming directed edge per joint: (P, K)
+            tgt_mask = tgt[:, None] == k_range[None, :]          # (Q, K)
+            conn_qk = jnp.where(tgt_mask[None], conn[:, :, None], 0.0)
+            best_q = jnp.argmax(conn_qk, axis=1)                 # (P, K)
+            best_v = jnp.max(conn_qk, axis=1)                    # (P, K)
 
-        # one placement per pose per round: the best frontier joint
-        j_star = jnp.argmax(best_v, axis=1)                  # (P,)
-        star_v = jnp.max(best_v, axis=1)
-        do_place = (star_v > 0.0) & pose_valid
-        onehot = (k_range[None, :] == j_star[:, None]) & do_place[:, None]
+            take = jnp.take_along_axis
+            jx = take(tx, best_q, 1)
+            jy = take(ty, best_q, 1)
+            js = take(ts, best_q, 1)
+            jv = take(new_v, best_q, 1)
 
-        rows = jnp.arange(poses.shape[0])
-        new_pose_data = jnp.stack([
-            take(jx, j_star[:, None], 1)[:, 0],
-            take(jy, j_star[:, None], 1)[:, 0],
-            take(jv, j_star[:, None], 1)[:, 0],
-            take(js, j_star[:, None], 1)[:, 0],
-        ], axis=-1)                                          # (P, 4)
-        poses = jnp.where(onehot[..., None],
-                          new_pose_data[:, None, :], poses)
-        placed = placed | onehot
-        return poses, placed, rounds_done + 1, jnp.any(do_place)
+            # one placement per pose per round: the best frontier joint
+            j_star = jnp.argmax(best_v, axis=1)                  # (P,)
+            star_v = jnp.max(best_v, axis=1)
+            do_place = (star_v > 0.0) & pose_valid
+            onehot = (k_range[None, :] == j_star[:, None]) \
+                & do_place[:, None]
+
+            new_pose_data = jnp.stack([
+                take(jx, j_star[:, None], 1)[:, 0],
+                take(jy, j_star[:, None], 1)[:, 0],
+                take(jv, j_star[:, None], 1)[:, 0],
+                take(js, j_star[:, None], 1)[:, 0],
+            ], axis=-1)                                          # (P, 4)
+            poses = jnp.where(onehot[..., None],
+                              new_pose_data[:, None, :], poses)
+            placed = placed | onehot
+            return poses, placed, rounds_done + 1, jnp.any(do_place)
+
+        return body
 
     # early exit: a round that places nothing is a fixed point, so the
     # K-1 worst-case depth only runs when poses actually keep growing
@@ -278,44 +287,14 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
         _, _, rounds_done, advanced = state
         return (rounds_done < rounds) & advanced
 
-    poses, placed, _, _ = jax.lax.while_loop(
-        cond, body, (poses, placed, jnp.zeros((), jnp.int32),
-                     jnp.ones((), bool)))
+    def run(body):
+        out = jax.lax.while_loop(
+            cond, body, (poses, placed, jnp.zeros((), jnp.int32),
+                         jnp.ones((), bool)))
+        return out[0], out[1]
 
+    poses, placed = run(make_body(kp_th, config.keypoint_threshold_rel, rev))
     if config.force_complete:
-        cfg_th = config.force_complete_threshold
-        def body_relaxed(state):
-            poses, placed, rounds_done, _ = state
-            value, tx, ty, ts, new_v = _connection_values(
-                poses, placed, pose_valid, cand, edges, config,
-                cfg_th, False)
-            conn = jnp.where(new_v > cfg_th, value, 0.0)
-            tgt_mask = tgt[:, None] == k_range[None, :]
-            conn_qk = jnp.where(tgt_mask[None], conn[:, :, None], 0.0)
-            best_q = jnp.argmax(conn_qk, axis=1)
-            best_v = jnp.max(conn_qk, axis=1)
-            take = jnp.take_along_axis
-            jx = take(tx, best_q, 1)
-            jy = take(ty, best_q, 1)
-            js = take(ts, best_q, 1)
-            jv = take(new_v, best_q, 1)
-            j_star = jnp.argmax(best_v, axis=1)
-            star_v = jnp.max(best_v, axis=1)
-            do_place = (star_v > 0.0) & pose_valid
-            onehot = (k_range[None, :] == j_star[:, None]) & do_place[:, None]
-            new_pose_data = jnp.stack([
-                take(jx, j_star[:, None], 1)[:, 0],
-                take(jy, j_star[:, None], 1)[:, 0],
-                take(jv, j_star[:, None], 1)[:, 0],
-                take(js, j_star[:, None], 1)[:, 0],
-            ], axis=-1)
-            poses = jnp.where(onehot[..., None],
-                              new_pose_data[:, None, :], poses)
-            placed = placed | onehot
-            return poses, placed, rounds_done + 1, jnp.any(do_place)
-
-        poses, placed, _, _ = jax.lax.while_loop(
-            cond, body_relaxed, (poses, placed, jnp.zeros((), jnp.int32),
-                                 jnp.ones((), bool)))
-
+        poses, placed = run(make_body(config.force_complete_threshold,
+                                      0.0, False))
     return poses, placed

@@ -54,7 +54,13 @@ class Predictor:
         self.total_images = 0
 
         self._mesh = None
-        if self.data_parallel and jax.device_count() > 1:
+        if self.data_parallel and jax.process_count() > 1:
+            # the decode result is consumed host-side per image; a global
+            # multi-process array cannot be sliced like that — shard the
+            # eval loader across hosts instead (Loader.shard)
+            LOG.warning('--dp-eval is single-host only; disabled '
+                        '(%d processes)', jax.process_count())
+        elif self.data_parallel and jax.device_count() > 1:
             from .parallel import mesh as mesh_mod
 
             self._mesh = mesh_mod.data_mesh()
@@ -91,15 +97,11 @@ class Predictor:
         cls.data_parallel = args.predictor_data_parallel
 
     def _place_batch(self, images: np.ndarray):
-        """Pad the batch to the device count and shard it over the mesh.
-
-        Multi-host safe: each process passes its host-local batch and
-        ``shard_batch`` assembles the global array
-        (``jax.make_array_from_process_local_data``).
-        """
+        """Pad the batch to the device count and shard it over the mesh
+        (single-host: ``__init__`` disables the mesh multi-process)."""
         if self._mesh is None:
             return jax.device_put(images), images.shape[0]
-        n_local = self._mesh.shape['data'] // jax.process_count()
+        n_local = self._mesh.shape['data']
         b = images.shape[0]
         pad = (-b) % n_local
         if pad:
