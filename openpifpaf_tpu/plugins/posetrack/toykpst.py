@@ -24,6 +24,8 @@ class ToyKpSt(DataModule):
     n_val_images = 8
     image_size = 161
     max_shift = 12.0
+    augmentation = True   # same spatial augmentation as toykp — without
+    # it the 32 fixed renders are memorized (train/val loss diverges)
 
     def __init__(self):
         self.head_metas = tracking_head_metas(
@@ -58,15 +60,28 @@ class ToyKpSt(DataModule):
             score_weights=constants.COCO_PERSON_SCORE_WEIGHTS)
 
     def _preprocess(self, seed: int = None):
-        return transforms.Compose([
-            self._normalize(),
-            transforms.RescaleAbsolute(self.image_size),
-            transforms.CenterPad(self.image_size),
+        steps = [self._normalize()]
+        if self.augmentation:
+            steps += [
+                transforms.RandomApply(
+                    transforms.HFlip(constants.COCO_KEYPOINTS,
+                                     constants.HFLIP), 0.5),
+                transforms.RescaleRelative((0.8, 1.25)),
+                transforms.Crop(self.image_size),
+                transforms.CenterPad(self.image_size),
+            ]
+        else:
+            steps += [
+                transforms.RescaleAbsolute(self.image_size),
+                transforms.CenterPad(self.image_size),
+            ]
+        steps += [
             transforms.TRAIN_TRANSFORM,
             transforms.ImageToTracking(max_shift_px=self.max_shift,
                                        seed=seed),
             encoder.TrackingEncoders(encoder.factory(self.head_metas)),
-        ])
+        ]
+        return transforms.Compose(steps)
 
     def _eval_preprocess(self):
         return transforms.Compose([
