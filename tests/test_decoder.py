@@ -306,3 +306,27 @@ class TestBatch:
         assert valid.shape[0] == 2
         assert valid[0].sum() == 1
         assert valid[1].sum() == 0
+
+
+class TestCrowded:
+    def test_nine_pose_grid(self):
+        """3x3 grid of people: budgets (seeds, poses, NMS) must hold and
+        every person decodes once."""
+        # pose at scale 8 occupies x in [144, 176], y in [10, 90]
+        offsets = [(dx, dy) for dy in (0.0, 110.0, 220.0)
+                   for dx in (-110.0, 0.0, 110.0)]
+        poses_in = [synthetic_pose(offset_px=o, scale=8.0) for o in offsets]
+        cif, caf = build_fields(poses_in)
+        result = decode(cif, caf)
+        valid = np.asarray(result.valid)
+        assert valid.sum() == 9
+        # each decoded pose matches a distinct painted person
+        centers = np.array([[160.0 + dx, 50.0 + dy] for dx, dy in offsets])
+        xyv = np.asarray(result.xyv)[valid.astype(bool)]
+        found = []
+        for pose in xyv:
+            vis = pose[:, 2] > 0.05
+            c = pose[vis, :2].mean(axis=0)
+            d = np.linalg.norm(centers - c, axis=1)
+            found.append(int(np.argmin(d)))
+        assert sorted(found) == list(range(9))
