@@ -60,3 +60,27 @@ def test_benchmark_help():
     result = _run_cli('openpifpaf_tpu.benchmark', ['--help'])
     assert result.returncode == 0
     assert '--checkpoints' in result.stdout
+
+
+def test_benchmark_format_table():
+    from openpifpaf_tpu.benchmark import format_table
+
+    rows = [{'checkpoint': 'a.npz', 'size': 36_000_000,
+             'stats': {'text_labels': ['AP', 'AP0.5'], 'stats': [0.7, 0.9],
+                       'total_time': 12.3, 'decoder_time': 1.2}}]
+    table = format_table(rows)
+    assert '| checkpoint | AP | AP0.5 |' in table
+    assert '| a.npz | 70.0 | 90.0 | 12.3s | 1.2s | 36.0MB |' in table
+    assert format_table([]) == '(no results)'
+
+
+@pytest.mark.skipif(not os.path.exists('/tmp/toykp_model.npz'),
+                    reason='needs a locally trained toykp checkpoint')
+def test_benchmark_functional(tmp_path):
+    result = _run_cli(
+        'openpifpaf_tpu.benchmark',
+        ['--checkpoints', '/tmp/toykp_model.npz', '--dataset=toykp',
+         f'--output-dir={tmp_path}', '--toykp-image-size=97',
+         '--batch-size=8'])
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert '| checkpoint |' in result.stdout
