@@ -26,13 +26,20 @@ class ImageToTracking(Preprocess):
     """(image, anns, meta) -> frame pair with simulated motion.
 
     The input image (numpy HWC, post ``ImageToNumpy``) becomes frame t-1;
-    frame t is a translated copy (camera pan) with every instance
-    additionally shifted by a small independent offset (subject motion).
-    Track ids are assigned per instance and shared across the pair.
+    frame t is a translated copy (camera pan).  Track ids are assigned per
+    instance and shared across the pair.
+
+    ``max_instance_shift_px`` additionally offsets each frame-t annotation
+    independently (simulated subject motion) — but the PIXELS of the
+    instance cannot move with it in a flat translated copy, so any nonzero
+    value makes frame-t labels disagree with the image by that much: label
+    noise in training targets and a broken ground truth at eval time.  It
+    therefore defaults to 0 (pan-only motion); only enable it for
+    robustness experiments, never in an eval pipeline.
     """
 
     def __init__(self, max_shift_px: float = 16.0,
-                 max_instance_shift_px: float = 8.0, seed: int = None):
+                 max_instance_shift_px: float = 0.0, seed: int = None):
         self.max_shift_px = max_shift_px
         self.max_instance_shift_px = max_instance_shift_px
         self.rng = np.random.default_rng(seed)
