@@ -39,7 +39,7 @@ from . import annotation
 from . import configurable
 from . import headmeta
 from . import signal_
-from .annotation import Annotation, AnnotationDet
+from .annotation import Annotation, AnnotationCrowd, AnnotationDet
 from .configurable import Configurable
 
 from . import plugin

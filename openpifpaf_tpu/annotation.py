@@ -248,3 +248,50 @@ class AnnotationDet(Base):
     def __repr__(self):
         return (f'AnnotationDet(category_id={self.category_id}, '
                 f'score={self.score:.3f})')
+
+
+class AnnotationCrowd(Base):
+    """A crowd region (ground truth only, never decoded).
+
+    Reference: ``annotation.py:~210`` — marks COCO ``iscrowd`` regions so
+    metrics and visualizers can ignore detections inside them.
+    """
+
+    def __init__(self, categories: Sequence[str]):
+        self.categories = list(categories)
+        self.category_id: Optional[int] = None
+        self.bbox: Optional[np.ndarray] = None  # (x, y, w, h)
+
+    def set(self, category_id: int, bbox) -> 'AnnotationCrowd':
+        self.category_id = int(category_id)
+        self.bbox = np.asarray(bbox, dtype=np.float32)
+        return self
+
+    @property
+    def category(self) -> str:
+        return self.categories[self.category_id - 1]
+
+    def json_data(self) -> dict:
+        return {
+            'category_id': self.category_id,
+            'category': self.category,
+            'iscrowd': 1,
+            'bbox': [round(float(c), 2) for c in self.bbox],
+        }
+
+    def inverse_transform(self, meta) -> 'AnnotationCrowd':
+        ann = AnnotationCrowd(self.categories)
+        bbox = np.copy(self.bbox)
+        bbox[:2] += np.asarray(meta['offset'], dtype=np.float32)
+        bbox[0] /= meta['scale'][0]
+        bbox[1] /= meta['scale'][1]
+        bbox[2] /= meta['scale'][0]
+        bbox[3] /= meta['scale'][1]
+        if meta.get('hflip', False):
+            w = meta.get('original_width_height', meta['width_height'])[0]
+            bbox[0] = -(bbox[0] + bbox[2]) + (w - 1)
+        ann.set(self.category_id, bbox)
+        return ann
+
+    def __repr__(self):
+        return f'AnnotationCrowd(category_id={self.category_id})'

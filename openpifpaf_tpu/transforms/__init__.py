@@ -20,6 +20,8 @@ from .preprocess import AnnotationCopy, Preprocess
 from .random import DeterministicEqualChoice, RandomApply, RandomChoice
 from .rotate import RotateBy90, RotateUniform
 from .scale import RescaleAbsolute, RescaleRelative, ScaleMix
+from .toannotations import (ToAnnotations, ToCrowdAnnotations,
+                            ToDetAnnotations, ToKpAnnotations)
 from .unclipped import UnclippedArea, UnclippedSides
 from .video import Deinterlace, ImputeNaN
 
@@ -35,7 +37,8 @@ __all__ = [
     'ImageToTracking', 'SingleImage',
     'DeterministicEqualChoice', 'RandomApply', 'RandomChoice',
     'RotateBy90', 'RotateUniform', 'RescaleAbsolute', 'RescaleRelative',
-    'ScaleMix', 'UnclippedArea', 'UnclippedSides',
+    'ScaleMix', 'ToAnnotations', 'ToCrowdAnnotations', 'ToDetAnnotations',
+    'ToKpAnnotations', 'UnclippedArea', 'UnclippedSides',
     'Deinterlace', 'ImputeNaN',
     'EVAL_TRANSFORM', 'TRAIN_TRANSFORM',
 ]

@@ -47,22 +47,31 @@ class AnnotationCopy(Preprocess):
 
 
 def rescale_annotations(anns: List, x_scale: float, y_scale: float):
+    scale4 = np.array([x_scale, y_scale, x_scale, y_scale])
     for ann in anns:
-        ann.data[:, 0] *= x_scale
-        ann.data[:, 1] *= y_scale
+        if getattr(ann, 'data', None) is not None:
+            ann.data[:, 0] *= x_scale
+            ann.data[:, 1] *= y_scale
         if getattr(ann, 'joint_scales', None) is not None:
             ann.joint_scales *= (x_scale + y_scale) / 2.0
         if getattr(ann, 'fixed_bbox', None) is not None:
-            ann.fixed_bbox = np.asarray(ann.fixed_bbox, np.float32) \
-                * np.array([x_scale, y_scale, x_scale, y_scale])
+            ann.fixed_bbox = np.asarray(ann.fixed_bbox, np.float32) * scale4
+        # box-only annotations (AnnotationDet / AnnotationCrowd GT)
+        if getattr(ann, 'data', None) is None \
+                and getattr(ann, 'bbox', None) is not None:
+            ann.bbox = np.asarray(ann.bbox, np.float32) * scale4
     return anns
 
 
 def translate_annotations(anns: List, dx: float, dy: float):
+    shift4 = np.array([dx, dy, 0.0, 0.0])
     for ann in anns:
-        ann.data[:, 0] += dx
-        ann.data[:, 1] += dy
+        if getattr(ann, 'data', None) is not None:
+            ann.data[:, 0] += dx
+            ann.data[:, 1] += dy
         if getattr(ann, 'fixed_bbox', None) is not None:
-            ann.fixed_bbox = np.asarray(ann.fixed_bbox, np.float32) \
-                + np.array([dx, dy, 0.0, 0.0])
+            ann.fixed_bbox = np.asarray(ann.fixed_bbox, np.float32) + shift4
+        if getattr(ann, 'data', None) is None \
+                and getattr(ann, 'bbox', None) is not None:
+            ann.bbox = np.asarray(ann.bbox, np.float32) + shift4
     return anns

@@ -115,3 +115,39 @@ def test_random_apply_prob_zero_and_one():
         transforms.HFlip(constants.COCO_KEYPOINTS, constants.HFLIP), 1.0)
     _, _, meta1 = t1(image, [make_ann()], None)
     assert meta1['hflip']
+
+
+def test_to_annotations_converters():
+    from openpifpaf_tpu.annotation import AnnotationCrowd, AnnotationDet
+
+    raw = [
+        {'keypoints': [50.0, 40.0, 2.0] * 17, 'bbox': [40, 30, 20, 20],
+         'category_id': 1, 'iscrowd': 0},
+        {'bbox': [10, 10, 30, 15], 'category_id': 1, 'iscrowd': 0},
+        {'bbox': [0, 0, 100, 50], 'category_id': 1, 'iscrowd': 1},
+    ]
+    to_anns = transforms.ToAnnotations([
+        transforms.ToKpAnnotations(
+            ['person'],
+            keypoints_by_category={1: constants.COCO_KEYPOINTS},
+            skeleton_by_category={1: constants.COCO_PERSON_SKELETON}),
+        transforms.ToCrowdAnnotations(['person']),
+    ])
+    _, anns, _ = to_anns(make_image(), list(raw), None)
+    assert len(anns) == 2
+    assert isinstance(anns[0], Annotation)
+    np.testing.assert_allclose(anns[0].data[0], [50.0, 40.0, 2.0])
+    assert isinstance(anns[1], AnnotationCrowd)
+    assert anns[1].json_data()['iscrowd'] == 1
+
+    dets = transforms.ToDetAnnotations(['person'])(list(raw))
+    assert len(dets) == 2
+    assert all(isinstance(d, AnnotationDet) for d in dets)
+    np.testing.assert_allclose(dets[1].bbox, [10, 10, 30, 15])
+
+    # crowd + det inverse transforms undo a rescale+pad pipeline
+    image, anns, meta = transforms.Compose([
+        transforms.RescaleAbsolute(321), transforms.CenterPad(321),
+    ])(make_image(), [anns[1]], None)
+    restored = anns[0].inverse_transform(meta)
+    np.testing.assert_allclose(restored.bbox, [0, 0, 100, 50], atol=0.8)
