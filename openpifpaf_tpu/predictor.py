@@ -30,6 +30,13 @@ class Predictor:
     batch_size = 1
     long_edge = 641
     loader_workers: Optional[int] = None
+    # multi-scale prediction: decode at several long edges (and their
+    # hflips) and merge with OKS suppression; one compiled program per
+    # (scale, hflip) variant — static shapes (reference: --multi-scale eval,
+    # transforms/multi_scale.py:~10)
+    multi_scale = False
+    multi_scale_hflip = True
+    multi_scale_factors = (0.75, 1.0, 1.25)
     # shard eval batches over all devices of a `data` mesh (reference has no
     # multi-GPU inference; TPU-native eval scales like training does —
     # forward AND on-device decode partition along the batch axis)
@@ -89,12 +96,26 @@ class Predictor:
         group.add_argument('--dp-eval', dest='predictor_data_parallel',
                            default=cls.data_parallel, action='store_true',
                            help='shard prediction batches over all devices')
+        group.add_argument('--multi-scale', dest='predictor_multi_scale',
+                           default=cls.multi_scale, action='store_true',
+                           help='predict at multiple scales and merge')
+        group.add_argument('--no-multi-scale-hflip',
+                           dest='predictor_multi_scale_hflip',
+                           default=cls.multi_scale_hflip, action='store_false',
+                           help='skip the hflipped variants in --multi-scale')
+        group.add_argument('--multi-scale-factors', nargs='+', type=float,
+                           dest='predictor_multi_scale_factors',
+                           default=list(cls.multi_scale_factors),
+                           help='long-edge factors for --multi-scale')
 
     @classmethod
     def configure(cls, args: argparse.Namespace) -> None:
         cls.long_edge = args.long_edge
         cls.batch_size = args.predictor_batch_size
         cls.data_parallel = args.predictor_data_parallel
+        cls.multi_scale = args.predictor_multi_scale
+        cls.multi_scale_hflip = args.predictor_multi_scale_hflip
+        cls.multi_scale_factors = tuple(args.predictor_multi_scale_factors)
 
     def _place_batch(self, images: np.ndarray):
         """Pad the batch to the device count and shard it over the mesh
@@ -112,16 +133,26 @@ class Predictor:
         return placed, b
 
     # ------------------------------------------------------------------
-    def preprocess_factory(self) -> transforms.Preprocess:
-        return transforms.Compose([
+    def preprocess_factory(self, *, long_edge: Optional[int] = None,
+                           hflip: bool = False) -> transforms.Preprocess:
+        long_edge = long_edge or self.long_edge
+        keypoints = getattr(self.model.head_metas[0], 'keypoints', []) or []
+        steps = [
             transforms.NormalizeAnnotations(
-                keypoints=getattr(self.model.head_metas[0], 'keypoints', []) or [],
+                keypoints=keypoints,
                 skeleton=getattr(self.model.head_metas[0], 'draw_skeleton', [])
                 or []),
-            transforms.RescaleAbsolute(self.long_edge),
-            transforms.CenterPad(self.long_edge),
+        ]
+        if hflip:
+            from .transforms.hflip import hflip_map_from_keypoints
+            steps.append(transforms.HFlip(
+                keypoints, hflip_map_from_keypoints(keypoints)))
+        steps += [
+            transforms.RescaleAbsolute(long_edge),
+            transforms.CenterPad(long_edge),
             transforms.EVAL_TRANSFORM,
-        ])
+        ]
+        return transforms.Compose(steps)
 
     def dataset(self, data) -> Iterator[Tuple[List, List, dict]]:
         """Iterate (pred, gt_anns, meta) over a Dataset/Loader."""
@@ -163,6 +194,9 @@ class Predictor:
                 yield preds, gts, meta
 
     def images(self, paths: Sequence[str]) -> Iterator:
+        if self.multi_scale:
+            yield from self.images_multiscale(paths)
+            return
         data = datasets.ImageList(paths, self.preprocess_factory())
         yield from self.dataset(data)
 
@@ -193,29 +227,43 @@ class Predictor:
         return merged
 
     def images_multiscale(self, paths: Sequence[str],
-                          long_edges: Sequence[int]) -> Iterator:
-        """Predict each image at several scales and merge the decodes.
+                          long_edges: Optional[Sequence[int]] = None) -> Iterator:
+        """Predict each image at several scales (and hflips) and merge.
 
-        Yields ``(merged_predictions, gt, meta_of_first_scale)`` per image.
-        One compiled forward+decode program per scale (static shapes).
+        Yields ``(merged_predictions, gt, meta_of_reference_scale)`` per
+        image.  One compiled forward+decode program per (scale, hflip)
+        variant (static shapes); predictions are inverse-transformed to
+        original image coordinates before the OKS merge, so variants
+        compose exactly.
         """
+        if long_edges is None:
+            # round to the stride grid (reference eval resolution 641 =
+            # 40*16+1); each size is its own compiled program
+            long_edges = sorted({
+                max(2, int(round(self.long_edge * f / 16))) * 16 + 1
+                for f in self.multi_scale_factors})
+        hflips = (False, True) if self.multi_scale_hflip else (False,)
+
         meta0 = self.model.head_metas[0]
         sigmas = getattr(meta0, 'sigmas', None)
-        per_scale = []
+        per_variant = []
+        reference_variant = None
         for long_edge in long_edges:
-            scale_preds = []
-            old = self.long_edge
-            self.long_edge = long_edge
-            try:
-                for pred, gt, meta in self.images(paths):
-                    scale_preds.append((pred, gt, meta))
-            finally:
-                self.long_edge = old
-            per_scale.append(scale_preds)
+            for hflip in hflips:
+                data = datasets.ImageList(paths, self.preprocess_factory(
+                    long_edge=long_edge, hflip=hflip))
+                # dataset() already inverse-transforms predictions to the
+                # original image coordinates, so variants compose exactly
+                variant = list(self.dataset(data))
+                per_variant.append(variant)
+                if not hflip and long_edge == max(long_edges):
+                    reference_variant = variant
+        if reference_variant is None:
+            reference_variant = per_variant[0]
 
-        for image_i in range(len(per_scale[0])):
-            ann_lists = [scale[image_i][0] for scale in per_scale]
-            _, gt, meta = per_scale[0][image_i]
+        for image_i in range(len(reference_variant)):
+            ann_lists = [variant[image_i][0] for variant in per_variant]
+            _, gt, meta = reference_variant[image_i]
             yield self.merge_annotations(ann_lists, sigmas=sigmas), gt, meta
 
     def numpy_images(self, images) -> Iterator:

@@ -53,3 +53,32 @@ def test_images_multiscale(tmp_path):
     assert len(results) == 1
     preds, gt, meta = results[0]
     assert isinstance(preds, list)
+
+
+def test_images_routes_multiscale(tmp_path, monkeypatch):
+    import PIL.Image
+
+    from test_export_migrate import build_model
+
+    model = build_model()
+    monkeypatch.setattr(Predictor, 'multi_scale', True)
+    monkeypatch.setattr(Predictor, 'multi_scale_factors', (0.75, 1.0))
+    monkeypatch.setattr(Predictor, 'long_edge', 49)
+    predictor = Predictor(model=model)
+    img_path = tmp_path / 'img.jpg'
+    PIL.Image.fromarray(
+        np.zeros((60, 80, 3), np.uint8), 'RGB').save(str(img_path))
+
+    results = list(predictor.images([str(img_path)]))
+    assert len(results) == 1
+    preds, _, meta = results[0]
+    assert isinstance(preds, list)
+    # reference variant is the largest non-flipped scale
+    assert meta['width_height'][0] == 49
+
+
+def test_hflip_map_from_keypoints():
+    from openpifpaf_tpu.transforms.hflip import hflip_map_from_keypoints
+
+    table = hflip_map_from_keypoints(constants.COCO_KEYPOINTS)
+    assert table == {k: v for k, v in constants.HFLIP.items()}

@@ -76,3 +76,15 @@ def test_predict_image_output(checkpoint_and_image, tmp_path):
                        '--long-edge', str(LONG_EDGE), '--no-bf16'])
     assert result.returncode == 0, result.stderr
     assert os.path.exists(out)
+
+
+def test_predict_multi_scale(checkpoint_and_image, tmp_path):
+    ckpt, img = checkpoint_and_image
+    out = str(tmp_path / 'ms.json')
+    result = _run_cli([img, '--checkpoint', ckpt, '--json-output', out,
+                       '--long-edge', str(LONG_EDGE), '--multi-scale',
+                       '--multi-scale-factors', '0.8', '1.0'])
+    assert result.returncode == 0, result.stderr[-2000:]
+    with open(out) as f:
+        preds = json.load(f)
+    assert isinstance(preds, list)
