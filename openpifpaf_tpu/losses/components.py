@@ -67,6 +67,30 @@ def laplace_regression(vec_raw: jnp.ndarray, spread_raw: jnp.ndarray,
 
 
 @dataclasses.dataclass(frozen=True)
+class SmoothL1Config:
+    r_smooth: float = 0.0   # quadratic-to-linear transition radius (cells)
+
+
+def smooth_l1_regression(vec_raw: jnp.ndarray,
+                         vec_target: jnp.ndarray,
+                         config: SmoothL1Config) -> jnp.ndarray:
+    """Smooth-L1 (Huber) offset regression, the reference's alternative to
+    Laplace NLL (``components.py:~120``, ``--regression-loss smoothl1``).
+
+    vec_raw, vec_target: (..., 2).  Below ``r_smooth`` the loss is
+    quadratic, above it linear; r_smooth == 0 degenerates to plain L1.
+    """
+    d = vec_raw - vec_target
+    norm = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-8)
+    r = config.r_smooth
+    if r <= 0.0:
+        return norm
+    return jnp.where(norm < r,
+                     0.5 / r * norm ** 2,
+                     norm - 0.5 * r)
+
+
+@dataclasses.dataclass(frozen=True)
 class ScaleConfig:
     log_space: bool = True
     b: float = 1.0

@@ -22,7 +22,9 @@ from .. import headmeta
 class CompositeLossConfig:
     bce: components.BceConfig = components.BceConfig()
     laplace: components.LaplaceConfig = components.LaplaceConfig()
+    smooth_l1: components.SmoothL1Config = components.SmoothL1Config()
     scale: components.ScaleConfig = components.ScaleConfig()
+    regression_loss: str = 'laplace'  # 'laplace' | 'smoothl1'
     # reference prescales confidence loss by 1/(total cells) per image and
     # regression losses by 1/(valid cells); we normalize by valid counts.
 
@@ -77,10 +79,16 @@ class CompositeLoss:
         conf_loss = _mean_where(conf_l, target['conf_mask'])
 
         if nv > 0:
-            vec_l = components.laplace_regression(
-                jnp.moveaxis(vec_raw, 3, -1),            # (B,F,V,H,W,2)
-                spread_raw, jnp.moveaxis(target['vec'], 3, -1),
-                self.config.laplace)
+            if self.config.regression_loss == 'smoothl1':
+                vec_l = components.smooth_l1_regression(
+                    jnp.moveaxis(vec_raw, 3, -1),        # (B,F,V,H,W,2)
+                    jnp.moveaxis(target['vec'], 3, -1),
+                    self.config.smooth_l1)
+            else:
+                vec_l = components.laplace_regression(
+                    jnp.moveaxis(vec_raw, 3, -1),        # (B,F,V,H,W,2)
+                    spread_raw, jnp.moveaxis(target['vec'], 3, -1),
+                    self.config.laplace)
             reg_loss = _mean_where(vec_l, target['vec_mask'])
         else:
             reg_loss = jnp.zeros(())

@@ -20,6 +20,8 @@ class Factory:
     background_weight: float = 1.0
     b_min: float = 0.1
     auto_tune_mtl: bool = False
+    regression_loss: str = 'laplace'
+    r_smooth: float = 0.0
 
     @classmethod
     def cli(cls, parser: argparse.ArgumentParser) -> None:
@@ -35,6 +37,11 @@ class Factory:
         group.add_argument('--auto-tune-mtl', default=cls.auto_tune_mtl,
                            action='store_true',
                            help='learn task-uncertainty weights (Kendall MTL)')
+        group.add_argument('--regression-loss', default=cls.regression_loss,
+                           choices=('laplace', 'smoothl1'),
+                           help='offset regression loss')
+        group.add_argument('--r-smooth', default=cls.r_smooth, type=float,
+                           help='smoothl1: quadratic-to-linear radius (cells)')
 
     @classmethod
     def configure(cls, args: argparse.Namespace) -> None:
@@ -43,6 +50,8 @@ class Factory:
         cls.background_weight = args.background_weight
         cls.b_min = args.b_min
         cls.auto_tune_mtl = args.auto_tune_mtl
+        cls.regression_loss = args.regression_loss
+        cls.r_smooth = args.r_smooth
 
     def factory(self, head_metas) -> MultiHeadLoss:
         config = CompositeLossConfig(
@@ -50,7 +59,9 @@ class Factory:
                 focal_gamma=self.focal_gamma,
                 background_weight=self.background_weight),
             laplace=components.LaplaceConfig(b_min=self.b_min),
+            smooth_l1=components.SmoothL1Config(r_smooth=self.r_smooth),
             scale=components.ScaleConfig(),
+            regression_loss=self.regression_loss,
         )
         losses = [CompositeLoss(meta, config) for meta in head_metas]
         return MultiHeadLoss(losses, self.lambdas)

@@ -169,3 +169,47 @@ class TestLosses:
         sig = jnp.zeros((6,))
         total, _ = loss_fn(fields, targets, log_sigmas=sig)
         assert np.isfinite(float(total))
+
+
+def test_smooth_l1_regression_analytic():
+    import jax.numpy as jnp
+
+    from openpifpaf_tpu.losses import components
+
+    config = components.SmoothL1Config(r_smooth=2.0)
+    pred = jnp.array([[0.0, 0.0], [0.0, 0.0], [0.0, 0.0]])
+    target = jnp.array([[1.0, 0.0],    # |d|=1 < r: quadratic 0.5/2*1 = 0.25
+                        [4.0, 0.0],    # |d|=4 > r: linear 4 - 1 = 3
+                        [0.0, 0.0]])   # |d|=0
+    out = np.asarray(components.smooth_l1_regression(pred, target, config))
+    np.testing.assert_allclose(out, [0.25, 3.0, 0.0], atol=1e-3)
+
+    # r_smooth=0 degenerates to L1
+    l1 = components.smooth_l1_regression(
+        pred, target, components.SmoothL1Config(r_smooth=0.0))
+    np.testing.assert_allclose(np.asarray(l1), [1.0, 4.0, 0.0], atol=1e-3)
+
+
+def test_composite_loss_smoothl1_selection():
+    import jax
+
+    cif_meta = headmeta.Cif('cif', 'toy',
+                            keypoints=constants.COCO_KEYPOINTS[:3],
+                            sigmas=constants.COCO_PERSON_SIGMAS[:3])
+    cif_meta.head_index, cif_meta.base_stride = 0, 16
+    config = losses.CompositeLossConfig(regression_loss='smoothl1')
+    loss = losses.CompositeLoss(cif_meta, config)
+
+    rng = np.random.default_rng(0)
+    field = rng.normal(size=(1, 3, 5, 4, 4)).astype(np.float32)
+    target = {
+        'conf': np.zeros((1, 3, 4, 4), np.float32),
+        'conf_mask': np.ones((1, 3, 4, 4), bool),
+        'vec': np.zeros((1, 3, 1, 2, 4, 4), np.float32),
+        'vec_mask': np.ones((1, 3, 1, 4, 4), bool),
+        'scale': np.ones((1, 3, 1, 4, 4), np.float32),
+        'scale_mask': np.ones((1, 3, 1, 4, 4), bool),
+    }
+    out = loss(jax.numpy.asarray(field), target)
+    assert len(out) == 3
+    assert all(np.isfinite(np.asarray(v)) for v in out)
