@@ -31,8 +31,14 @@ class Evaluator:
         self.metrics = datamodule.metrics()
         self.n_images = 0
 
+    loader_warmup = 0.0  # seconds to let loader workers fill their queue
+                         # before timing starts (reference eval.py:~60)
+
     def run(self) -> dict:
         loader = self.datamodule.eval_loader()
+        if self.loader_warmup:
+            LOG.info('waiting %.1fs for loader warmup', self.loader_warmup)
+            time.sleep(self.loader_warmup)
         total_start = time.perf_counter()
         for pred, gt, image_meta in self.predictor.dataset_loader(loader):
             for metric in self.metrics:
@@ -66,6 +72,9 @@ def cli(argv=None) -> argparse.Namespace:
                         help='stats output file basename')
     parser.add_argument('--write-predictions', default=False,
                         action='store_true')
+    parser.add_argument('--loader-warmup', default=Evaluator.loader_warmup,
+                        type=float,
+                        help='seconds to wait before timing starts')
     logger.cli(parser)
     models.Factory.cli(parser)
     decoder.cli(parser)
@@ -78,6 +87,7 @@ def cli(argv=None) -> argparse.Namespace:
     decoder.configure(args)
     Predictor.configure(args)
     datasets.configure(args)
+    Evaluator.loader_warmup = args.loader_warmup
     return args
 
 

@@ -53,7 +53,7 @@ def test_eval_cli_stats_schema(checkpoint, tmp_path):
         [sys.executable, '-m', 'openpifpaf_tpu.eval',
          '--dataset=toykp', f'--checkpoint={checkpoint}',
          '--toykp-image-size=97', '--batch-size=4',
-         '-o', str(out), '--write-predictions'],
+         '-o', str(out), '--write-predictions', '--loader-warmup=0.1'],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-4000:]
