@@ -34,6 +34,7 @@ class CifCaf(Decoder):
     caf_score_th = 0.2
     cif_hr_v_threshold = 0.1
     force_complete = False
+    force_complete_caf_th = 0.001  # relaxed CAF threshold in that mode
     reverse_match = True
     connection_blend = True
     dense_connections = 0.0
@@ -80,6 +81,10 @@ class CifCaf(Decoder):
         group.add_argument('--force-complete-pose', dest='force_complete',
                            default=cls.force_complete, action='store_true',
                            help='relaxed second growth pass to fill poses')
+        group.add_argument('--force-complete-caf-th',
+                           default=cls.force_complete_caf_th, type=float,
+                           help='CAF candidate threshold used with '
+                                '--force-complete-pose')
         group.add_argument('--no-reverse-match', dest='reverse_match',
                            default=cls.reverse_match, action='store_false',
                            help='disable reverse-match confirmation')
@@ -109,6 +114,7 @@ class CifCaf(Decoder):
         cls.instance_threshold = args.instance_threshold
         cls.caf_score_th = args.caf_score_th
         cls.force_complete = args.force_complete
+        cls.force_complete_caf_th = args.force_complete_caf_th
         cls.reverse_match = args.reverse_match
         cls.connection_blend = args.connection_method == 'blend'
         cls.dense_connections = args.dense_connections
@@ -153,7 +159,11 @@ class CifCaf(Decoder):
                 threshold=self.seed_threshold,
                 max_seeds=self.max_seeds),
             caf=caf_scored.CafScoredConfig(
-                score_th=self.caf_score_th,
+                # --force-complete-pose needs the weak CAF candidates that
+                # the relaxed second pass places (reference
+                # --force-complete-caf-th, decoder/cifcaf.py:~60)
+                score_th=(self.force_complete_caf_th if self.force_complete
+                          else self.caf_score_th),
                 max_candidates=self.max_caf_candidates),
             growth=growth.GrowthConfig(
                 keypoint_threshold=self.keypoint_threshold,
@@ -164,7 +174,11 @@ class CifCaf(Decoder):
                 force_complete=self.force_complete),
             nms=nms.NMSConfig(
                 instance_threshold=self.instance_threshold,
-                keypoint_threshold=self.keypoint_threshold),
+                # --force-complete-pose implies keypoint_threshold 0.0 at
+                # NMS time (reference decoder/cifcaf.py configure), or the
+                # joints placed by the relaxed second pass are zeroed again
+                keypoint_threshold=(0.0 if self.force_complete
+                                    else self.keypoint_threshold)),
         )
 
     def _decoder_for(self, image_hw: Tuple[int, int]):

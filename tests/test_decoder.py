@@ -330,3 +330,76 @@ class TestCrowded:
             d = np.linalg.norm(centers - c, axis=1)
             found.append(int(np.argmin(d)))
         assert sorted(found) == list(range(9))
+
+
+class TestForceComplete:
+    """--force-complete-pose: relaxed second growth pass places joints whose
+    connections are below the normal keypoint threshold (reference
+    cifcaf.cpp:~380), and NMS must not zero them again."""
+
+    @staticmethod
+    def weakened_fields():
+        kp, scales = synthetic_pose()
+        cif, caf = build_fields([(kp, scales)])
+        wrists = [9, 10]  # left_wrist, right_wrist (0-based)
+        weak_edges = [
+            e for e, (a, b) in enumerate(constants.COCO_PERSON_SKELETON)
+            if (a - 1) in wrists or (b - 1) in wrists]
+        for f in wrists:
+            mask = cif[f, 0] > -9.0
+            cif[f, 0, mask] = inv_sigmoid(0.1)   # below seed threshold
+        for e in weak_edges:
+            mask = caf[e, 0] > -9.0
+            caf[e, 0, mask] = inv_sigmoid(0.08)  # below keypoint threshold
+        return cif, caf, wrists
+
+    def test_default_drops_weak_joints(self):
+        cif, caf, wrists = self.weakened_fields()
+        result = decode(cif, caf)
+        valid = np.asarray(result.valid).astype(bool)
+        assert valid.sum() == 1
+        pose = np.asarray(result.xyv)[valid][0]
+        for f in wrists:
+            assert pose[f, 2] == 0.0, f'joint {f} should be below threshold'
+        assert (pose[:, 2] > 0).sum() == 15
+
+    def test_force_complete_places_all(self):
+        import dataclasses
+
+        from openpifpaf_tpu.ops import caf_scored as caf_mod
+        from openpifpaf_tpu.ops import growth as growth_mod
+        from openpifpaf_tpu.ops import nms as nms_mod
+
+        cif, caf, wrists = self.weakened_fields()
+        kp, _ = synthetic_pose()
+        cif_meta, caf_meta = metas()
+        config = dataclasses.replace(
+            ops.CifCafConfig(
+                stride=16, image_hw=(cif.shape[-2] * 16, cif.shape[-1] * 16)),
+            caf=dataclasses.replace(caf_mod.CafScoredConfig(),
+                                    score_th=0.001),
+            growth=dataclasses.replace(growth_mod.GrowthConfig(),
+                                       force_complete=True),
+            nms=dataclasses.replace(nms_mod.NMSConfig(),
+                                    keypoint_threshold=0.0))
+        result = ops.decode_cifcaf_single(
+            np.asarray(cif), np.asarray(caf),
+            cif_meta=cif_meta, caf_meta=caf_meta, config=config)
+        valid = np.asarray(result.valid).astype(bool)
+        assert valid.sum() == 1
+        pose = np.asarray(result.xyv)[valid][0]
+        assert (pose[:, 2] > 0).sum() == 17
+        for f in wrists:
+            assert pose[f, 2] > 0.0
+            np.testing.assert_allclose(pose[f, :2], kp[f, :2], atol=8.0)
+
+    def test_decoder_config_relaxes_nms_threshold(self):
+        from openpifpaf_tpu import decoder as decoder_pkg
+
+        cif_meta, caf_meta = metas()
+        cif_meta.head_index, caf_meta.head_index = 0, 1
+        cif_meta.base_stride = caf_meta.base_stride = 16
+        dec = decoder_pkg.cifcaf.CifCaf(cif_meta, caf_meta)
+        assert dec.config_for((321, 321)).nms.keypoint_threshold > 0.0
+        dec.force_complete = True
+        assert dec.config_for((321, 321)).nms.keypoint_threshold == 0.0
