@@ -403,3 +403,33 @@ class TestForceComplete:
         assert dec.config_for((321, 321)).nms.keypoint_threshold > 0.0
         dec.force_complete = True
         assert dec.config_for((321, 321)).nms.keypoint_threshold == 0.0
+
+
+class TestGrowthVariants:
+    """Alternative connection strategies decode the same clean pose:
+    --connection-method=max and --no-reverse-match (reference
+    cifcaf.cpp:~220..~330 grow_connection_blend/max paths)."""
+
+    @staticmethod
+    def run_variant(**growth_updates):
+        import dataclasses
+
+        from openpifpaf_tpu.ops import growth as growth_mod
+
+        kp, scales = synthetic_pose()
+        cif, caf = build_fields([(kp, scales)])
+        result = decode(
+            cif, caf,
+            growth=dataclasses.replace(growth_mod.GrowthConfig(),
+                                       **growth_updates))
+        valid = np.asarray(result.valid).astype(bool)
+        assert valid.sum() == 1
+        pose = np.asarray(result.xyv)[valid][0]
+        assert (pose[:, 2] > 0).sum() == 17
+        np.testing.assert_allclose(pose[:, :2], kp[:, :2], atol=8.0)
+
+    def test_connection_max(self):
+        self.run_variant(connection_blend=False)
+
+    def test_no_reverse_match(self):
+        self.run_variant(reverse_match=False)
