@@ -30,6 +30,11 @@ def cli(parser: argparse.ArgumentParser) -> None:
     group.add_argument('--profile-decoder', default=None, nargs='?',
                        const='decoder.prof',
                        help='profile the decode step into this file')
+    group.add_argument('--decoder-workers', default=None, type=int,
+                       help='(compatibility) the reference decodes in CPU '
+                            'worker processes; here decode runs on-device '
+                            'inside the jitted program, so this flag is '
+                            'accepted but has no effect')
     for decoder in DECODERS:
         decoder.cli(parser)
 
@@ -42,6 +47,10 @@ def configure(args: argparse.Namespace) -> None:
     Decoder.profile = args.profile_decoder
     _requested_decoders = ([n.lower() for n in args.decoder]
                            if args.decoder else None)
+    if getattr(args, 'decoder_workers', None):
+        LOG.warning('--decoder-workers has no effect: fields are decoded '
+                    'on-device inside the jitted forward program '
+                    '(no CPU worker pool to size)')
     for decoder in DECODERS:
         decoder.configure(args)
 
