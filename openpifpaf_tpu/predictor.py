@@ -212,6 +212,15 @@ class Predictor:
         """
         from .decoder.pose_similarity import oks_matrix
 
+        # OKS merging is keypoint-only; box-only annotations (AnnotationDet)
+        # pass through from the first (reference) variant unmerged
+        passthrough = [a for a in (annotation_lists[0] if annotation_lists
+                                   else [])
+                       if getattr(a, 'data', None) is None]
+        annotation_lists = [[a for a in anns
+                             if getattr(a, 'data', None) is not None]
+                            for anns in annotation_lists]
+
         merged = []
         candidates = sorted((a for anns in annotation_lists for a in anns),
                             key=lambda a: -a.score)
@@ -224,7 +233,7 @@ class Predictor:
                    > oks_threshold for kept in merged):
                 continue
             merged.append(ann)
-        return merged
+        return merged + passthrough
 
     def images_multiscale(self, paths: Sequence[str],
                           long_edges: Optional[Sequence[int]] = None) -> Iterator:
