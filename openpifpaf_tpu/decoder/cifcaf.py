@@ -158,13 +158,20 @@ class CifCaf(Decoder):
             seeds=seeds.SeedsConfig(
                 threshold=self.seed_threshold,
                 max_seeds=self.max_seeds),
+            # first growth pass always consumes candidates at the normal
+            # threshold (reference relaxes only the second pass,
+            # cifcaf.cpp:~380); a flood of relaxed candidates here would
+            # evict the strong ones from the static top-C budget
             caf=caf_scored.CafScoredConfig(
-                # --force-complete-pose needs the weak CAF candidates that
-                # the relaxed second pass places (reference
-                # --force-complete-caf-th, decoder/cifcaf.py:~60)
-                score_th=(self.force_complete_caf_th if self.force_complete
-                          else self.caf_score_th),
+                score_th=self.caf_score_th,
                 max_candidates=self.max_caf_candidates),
+            # --force-complete-pose: a separately thresholded candidate set
+            # (reference --force-complete-caf-th, decoder/cifcaf.py:~60)
+            # with a doubled budget, consumed only by the second pass
+            caf_fc=(caf_scored.CafScoredConfig(
+                score_th=self.force_complete_caf_th,
+                max_candidates=2 * self.max_caf_candidates)
+                if self.force_complete else None),
             growth=growth.GrowthConfig(
                 keypoint_threshold=self.keypoint_threshold,
                 keypoint_threshold_rel=self.keypoint_threshold_rel,

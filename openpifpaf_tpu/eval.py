@@ -12,6 +12,7 @@ Usage: ``python -m openpifpaf_tpu.eval --dataset=toykp --checkpoint=model.npz``
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import logging
 import os
@@ -36,11 +37,17 @@ class Evaluator:
 
     def run(self) -> dict:
         loader = self.datamodule.eval_loader()
+        loader_iter = iter(loader)
         if self.loader_warmup:
+            # Loader spawns workers/prefetch lazily on first next(): pull
+            # the first batch now so the queue actually fills during the
+            # sleep, and chain it back so nothing is skipped
             LOG.info('waiting %.1fs for loader warmup', self.loader_warmup)
+            first = list(itertools.islice(loader_iter, 1))
             time.sleep(self.loader_warmup)
+            loader_iter = itertools.chain(first, loader_iter)
         total_start = time.perf_counter()
-        for pred, gt, image_meta in self.predictor.dataset_loader(loader):
+        for pred, gt, image_meta in self.predictor.dataset_loader(loader_iter):
             for metric in self.metrics:
                 metric.accumulate(pred, image_meta, ground_truth=gt)
             self.n_images += 1

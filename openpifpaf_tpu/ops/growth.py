@@ -220,11 +220,18 @@ def _connection_values(poses, placed, pose_valid, cand: CafCandidates,
 def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
          cand: CafCandidates, edges: DirectedEdges,
          config: GrowthConfig, *, keypoint_threshold: float = None,
-         reverse_match: bool = None, n_rounds: int = None):
+         reverse_match: bool = None, n_rounds: int = None,
+         force_cand: CafCandidates = None):
     """Run frontier relaxation until all joints are placed or K-1 rounds.
 
     Each round every pose places its single best frontier joint — the
     vectorized equivalent of the reference's priority-queue pop.
+
+    ``force_cand``, when given, is a *separately thresholded* candidate set
+    used only by the relaxed force-complete second pass (reference
+    ``cifcaf.cpp:~380`` rebuilds CafScored with the relaxed threshold for
+    that pass only); the first pass always consumes ``cand`` built at the
+    normal ``caf_score_th``.
     """
     k = poses.shape[1]
     kp_th = config.keypoint_threshold if keypoint_threshold is None \
@@ -235,16 +242,17 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
     src = jnp.asarray(edges.src_kp)
     k_range = jnp.arange(k)
 
-    def make_body(threshold: float, rel: float, reverse: bool):
+    def make_body(threshold: float, rel: float, reverse: bool,
+                  pass_cand: CafCandidates):
         """One relaxation-round body; the force-complete pass is the same
-        body with a relaxed threshold, no relative gate and no reverse
-        match (reference cifcaf.cpp:~380)."""
+        body with a relaxed threshold, its own relaxed candidate set, no
+        relative gate and no reverse match (reference cifcaf.cpp:~380)."""
 
         def body(state):
             poses, placed, rounds_done, _ = state
             value, tx, ty, ts, new_v = _connection_values(
-                poses, placed, pose_valid, cand, edges, config, threshold,
-                reverse)
+                poses, placed, pose_valid, pass_cand, edges, config,
+                threshold, reverse)
             vs = poses[:, src, 2]
             ok = (new_v > threshold) & (new_v > rel * vs)
             conn = jnp.where(ok, value, 0.0)          # (P, Q)
@@ -293,8 +301,10 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
                          jnp.ones((), bool)))
         return out[0], out[1]
 
-    poses, placed = run(make_body(kp_th, config.keypoint_threshold_rel, rev))
+    poses, placed = run(make_body(kp_th, config.keypoint_threshold_rel, rev,
+                                  cand))
     if config.force_complete:
+        fc_cand = force_cand if force_cand is not None else cand
         poses, placed = run(make_body(config.force_complete_threshold,
-                                      0.0, False))
+                                      0.0, False, fc_cand))
     return poses, placed

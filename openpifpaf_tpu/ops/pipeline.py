@@ -32,6 +32,10 @@ class CifCafConfig:
     cifhr: cif_hr.CifHrConfig = cif_hr.CifHrConfig()
     seeds: seeds.SeedsConfig = seeds.SeedsConfig()
     caf: caf_scored.CafScoredConfig = caf_scored.CafScoredConfig()
+    # separately thresholded candidate set consumed only by the relaxed
+    # force-complete second pass (reference cifcaf.cpp:~380 rebuilds
+    # CafScored for that pass); None = reuse the first-pass candidates
+    caf_fc: caf_scored.CafScoredConfig = None
     growth: growth.GrowthConfig = growth.GrowthConfig()
     nms: nms.NMSConfig = nms.NMSConfig()
 
@@ -94,13 +98,21 @@ def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
                              hr_spacing=config.cifhr.spacing,
                              config=config.caf,
                              confidence_scales=conf_scales)
+    n_dropped_caf = cands.n_dropped
+    cands_fc = None
+    if config.growth.force_complete and config.caf_fc is not None:
+        cands_fc = caf_scored.score(caf, hr, skeleton, stride=stride,
+                                    hr_spacing=config.cifhr.spacing,
+                                    config=config.caf_fc,
+                                    confidence_scales=conf_scales)
+        n_dropped_caf = n_dropped_caf + cands_fc.n_dropped
 
     # 4) parallel frontier growth
     edges = growth.directed_edges(skeleton)
     poses, placed, pose_valid, _, n_dropped_poses = growth.init_poses(
         sds, n_keypoints=fk, config=config.growth)
     poses, placed = growth.grow(poses, placed, pose_valid, cands, edges,
-                                config.growth)
+                                config.growth, force_cand=cands_fc)
 
     # 5) joint scale refinement from the CIF scale field at joint positions
     # (reference CifCaf fills joint_scales from the cif scale map)
@@ -122,7 +134,7 @@ def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
         joint_scales=joint_scales,
         scores=scores,
         valid=valid,
-        n_dropped_caf=cands.n_dropped,
+        n_dropped_caf=n_dropped_caf,
         n_dropped_cif=n_dropped_cif,
         n_dropped_poses=n_dropped_poses,
     )

@@ -136,9 +136,14 @@ def _grow_pose(pose: np.ndarray, placed: np.ndarray, cand: CafCandidates,
 
 def decode_sequential(seeds: Seeds, cand: CafCandidates,
                       skeleton: np.ndarray, *, n_keypoints: int, image_hw,
-                      config: GrowthConfig = GrowthConfig()) -> List[np.ndarray]:
+                      config: GrowthConfig = GrowthConfig(),
+                      force_cand: CafCandidates = None) -> List[np.ndarray]:
     """Reference-scheduled decode: returns the grown poses (K, 4) in seed
-    consumption order (before NMS/instance scoring)."""
+    consumption order (before NMS/instance scoring).
+
+    ``force_cand``: relaxed-threshold candidate set consumed only by the
+    force-complete second pass (mirrors ``growth.grow``'s ``force_cand``).
+    """
     edges = directed_edges(np.asarray(skeleton))
     occupancy = Occupancy(n_keypoints, image_hw)
     poses: List[np.ndarray] = []
@@ -147,6 +152,8 @@ def decode_sequential(seeds: Seeds, cand: CafCandidates,
     # (per-op device round-trips would dominate otherwise)
     seeds = Seeds(*[np.asarray(a) for a in seeds])
     cand = CafCandidates(*[np.asarray(a) for a in cand])
+    if force_cand is not None:
+        force_cand = CafCandidates(*[np.asarray(a) for a in force_cand])
 
     order = np.argsort(-seeds.v, kind='stable')
     for si in order:
@@ -167,7 +174,8 @@ def decode_sequential(seeds: Seeds, cand: CafCandidates,
                    config.keypoint_threshold, config.reverse_match)
         if config.force_complete:
             relaxed = dataclasses.replace(config, keypoint_threshold_rel=0.0)
-            _grow_pose(pose, placed, cand, edges, relaxed,
+            fc = force_cand if force_cand is not None else cand
+            _grow_pose(pose, placed, fc, edges, relaxed,
                        config.force_complete_threshold, reverse_match=False)
         for k in range(n_keypoints):
             if placed[k]:

@@ -203,7 +203,8 @@ class Predictor:
     # -- multi-scale ----------------------------------------------------
     @staticmethod
     def merge_annotations(annotation_lists, *, sigmas=None,
-                          oks_threshold: float = 0.7):
+                          oks_threshold: float = 0.7,
+                          reference_index: int = 0):
         """Merge per-scale annotation sets (already in original image
         coordinates): greedy score-ordered OKS suppression.
 
@@ -213,9 +214,9 @@ class Predictor:
         from .decoder.pose_similarity import oks_matrix
 
         # OKS merging is keypoint-only; box-only annotations (AnnotationDet)
-        # pass through from the first (reference) variant unmerged
-        passthrough = [a for a in (annotation_lists[0] if annotation_lists
-                                   else [])
+        # pass through from the reference variant unmerged
+        passthrough = [a for a in (annotation_lists[reference_index]
+                                   if annotation_lists else [])
                        if getattr(a, 'data', None) is None]
         annotation_lists = [[a for a in anns
                              if getattr(a, 'data', None) is not None]
@@ -255,25 +256,37 @@ class Predictor:
 
         meta0 = self.model.head_metas[0]
         sigmas = getattr(meta0, 'sigmas', None)
-        per_variant = []
-        reference_variant = None
-        for long_edge in long_edges:
-            for hflip in hflips:
-                data = datasets.ImageList(paths, self.preprocess_factory(
-                    long_edge=long_edge, hflip=hflip))
+        variant_keys = [(long_edge, hflip) for long_edge in long_edges
+                        for hflip in hflips]
+        # reference variant = largest non-flipped scale (meta/gt/box
+        # passthrough come from it)
+        reference_index = variant_keys.index((max(long_edges), False))
+
+        # the per-variant dataset() runs must yield Annotation objects for
+        # the OKS merge — apply any json_data conversion after merging
+        json_data, self.json_data = self.json_data, False
+        try:
+            # zip the per-variant iterators so results stream image by image
+            # (each iterator buffers at most one decoded batch) instead of
+            # materializing all variants for the whole path list
+            iterators = [
+                iter(self.dataset(datasets.ImageList(
+                    paths, self.preprocess_factory(long_edge=long_edge,
+                                                   hflip=hflip))))
+                for long_edge, hflip in variant_keys]
+            for results in zip(*iterators):
                 # dataset() already inverse-transforms predictions to the
                 # original image coordinates, so variants compose exactly
-                variant = list(self.dataset(data))
-                per_variant.append(variant)
-                if not hflip and long_edge == max(long_edges):
-                    reference_variant = variant
-        if reference_variant is None:
-            reference_variant = per_variant[0]
-
-        for image_i in range(len(reference_variant)):
-            ann_lists = [variant[image_i][0] for variant in per_variant]
-            _, gt, meta = reference_variant[image_i]
-            yield self.merge_annotations(ann_lists, sigmas=sigmas), gt, meta
+                ann_lists = [r[0] for r in results]
+                _, gt, meta = results[reference_index]
+                merged = self.merge_annotations(
+                    ann_lists, sigmas=sigmas,
+                    reference_index=reference_index)
+                if json_data:
+                    merged = [ann.json_data() for ann in merged]
+                yield merged, gt, meta
+        finally:
+            self.json_data = json_data
 
     def numpy_images(self, images) -> Iterator:
         data = datasets.NumpyImageList(images, self.preprocess_factory())

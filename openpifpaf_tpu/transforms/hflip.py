@@ -59,13 +59,21 @@ class HFlip(Preprocess):
         w, _ = image.size
         image = image.transpose(PIL.Image.FLIP_LEFT_RIGHT)
         for ann in anns:
-            ann.data[:, 0] = -ann.data[:, 0] + (w - 1)
-            if len(ann.data) == len(self.swap.perm):
-                ann.data = self.swap(ann.data)
+            # box-only annotations (AnnotationDet / AnnotationCrowd GT) have
+            # no keypoint data — mirror the preprocess.py guards
+            if getattr(ann, 'data', None) is not None:
+                ann.data[:, 0] = -ann.data[:, 0] + (w - 1)
+                if len(ann.data) == len(self.swap.perm):
+                    ann.data = self.swap(ann.data)
             if getattr(ann, 'fixed_bbox', None) is not None:
                 bb = np.asarray(ann.fixed_bbox, np.float32)
                 bb[0] = -(bb[0] + bb[2]) + (w - 1)
                 ann.fixed_bbox = bb
+            if getattr(ann, 'data', None) is None \
+                    and getattr(ann, 'bbox', None) is not None:
+                bb = np.asarray(ann.bbox, np.float32)
+                bb[0] = -(bb[0] + bb[2]) + (w - 1)
+                ann.bbox = bb
         va = meta['valid_area']
         meta['valid_area'] = np.array(
             (w - 1 - (va[0] + va[2]), va[1], va[2], va[3]))

@@ -404,6 +404,61 @@ class TestForceComplete:
         dec.force_complete = True
         assert dec.config_for((321, 321)).nms.keypoint_threshold == 0.0
 
+    def test_first_pass_keeps_normal_threshold(self):
+        """--force-complete-pose must not relax the FIRST pass's candidate
+        set: the relaxed candidates live in a separate caf_fc set with a
+        doubled budget (reference relaxes only the second pass,
+        cifcaf.cpp:~380)."""
+        from openpifpaf_tpu import decoder as decoder_pkg
+
+        cif_meta, caf_meta = metas()
+        cif_meta.head_index, caf_meta.head_index = 0, 1
+        cif_meta.base_stride = caf_meta.base_stride = 16
+        dec = decoder_pkg.cifcaf.CifCaf(cif_meta, caf_meta)
+        config = dec.config_for((321, 321))
+        assert config.caf.score_th == dec.caf_score_th
+        assert config.caf_fc is None
+        dec.force_complete = True
+        config = dec.config_for((321, 321))
+        assert config.caf.score_th == dec.caf_score_th
+        assert config.caf_fc is not None
+        assert config.caf_fc.score_th == dec.force_complete_caf_th
+        assert config.caf_fc.max_candidates == 2 * config.caf.max_candidates
+
+    def test_force_complete_via_separate_candidate_set(self):
+        """End-to-end: first pass at the normal CAF threshold, relaxed
+        candidates only in caf_fc — the weak wrist edges are still placed
+        by the second pass."""
+        import dataclasses
+
+        from openpifpaf_tpu.ops import caf_scored as caf_mod
+        from openpifpaf_tpu.ops import growth as growth_mod
+        from openpifpaf_tpu.ops import nms as nms_mod
+
+        cif, caf, wrists = self.weakened_fields()
+        kp, _ = synthetic_pose()
+        cif_meta, caf_meta = metas()
+        config = dataclasses.replace(
+            ops.CifCafConfig(
+                stride=16, image_hw=(cif.shape[-2] * 16, cif.shape[-1] * 16)),
+            caf_fc=dataclasses.replace(caf_mod.CafScoredConfig(),
+                                       score_th=0.001, max_candidates=512),
+            growth=dataclasses.replace(growth_mod.GrowthConfig(),
+                                       force_complete=True),
+            nms=dataclasses.replace(nms_mod.NMSConfig(),
+                                    keypoint_threshold=0.0))
+        assert config.caf.score_th == pytest.approx(0.2)
+        result = ops.decode_cifcaf_single(
+            np.asarray(cif), np.asarray(caf),
+            cif_meta=cif_meta, caf_meta=caf_meta, config=config)
+        valid = np.asarray(result.valid).astype(bool)
+        assert valid.sum() == 1
+        pose = np.asarray(result.xyv)[valid][0]
+        assert (pose[:, 2] > 0).sum() == 17
+        for f in wrists:
+            assert pose[f, 2] > 0.0
+            np.testing.assert_allclose(pose[f, :2], kp[f, :2], atol=8.0)
+
 
 class TestGrowthVariants:
     """Alternative connection strategies decode the same clean pose:

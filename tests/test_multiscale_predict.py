@@ -77,6 +77,63 @@ def test_images_routes_multiscale(tmp_path, monkeypatch):
     assert meta['width_height'][0] == 49
 
 
+def test_images_multiscale_json_data(tmp_path):
+    """json_data=True with multi_scale: per-variant decodes must stay
+    Annotation objects through the OKS merge, with json conversion applied
+    only after (previously every non-first variant was silently dropped)."""
+    import PIL.Image
+    import numpy as np
+
+    from test_export_migrate import build_model
+
+    model = build_model()
+    predictor = Predictor(model=model, json_data=True)
+    img_path = tmp_path / 'img.jpg'
+    PIL.Image.fromarray(
+        np.zeros((60, 80, 3), np.uint8), 'RGB').save(str(img_path))
+
+    results = list(predictor.images_multiscale([str(img_path)], [33, 49]))
+    assert len(results) == 1
+    preds, _, _ = results[0]
+    assert all(isinstance(p, dict) for p in preds)
+    assert predictor.json_data is True  # restored after the generator
+
+
+def test_merge_passthrough_from_reference_variant():
+    """Box-only annotations pass through from the reference variant's list,
+    not annotation_lists[0]."""
+    from openpifpaf_tpu.annotation import AnnotationDet
+
+    det0 = AnnotationDet(['person'])
+    det0.set(1, 0.9, (0.0, 0.0, 10.0, 10.0))
+    det_ref = AnnotationDet(['person'])
+    det_ref.set(1, 0.8, (5.0, 5.0, 10.0, 10.0))
+    merged = Predictor.merge_annotations(
+        [[det0], [det_ref]], sigmas=constants.COCO_PERSON_SIGMAS,
+        reference_index=1)
+    assert merged == [det_ref]
+
+
+def test_hflip_box_only_annotation():
+    """HFlip must not crash on box-only annotations (AnnotationDet /
+    AnnotationCrowd GT) and must mirror their bbox."""
+    import PIL.Image
+    import numpy as np
+
+    from openpifpaf_tpu.annotation import AnnotationDet
+    from openpifpaf_tpu.transforms.hflip import (HFlip,
+                                                 hflip_map_from_keypoints)
+
+    det = AnnotationDet(['person'])
+    det.set(1, 0.9, (10.0, 20.0, 30.0, 40.0))
+    image = PIL.Image.fromarray(np.zeros((100, 200, 3), np.uint8), 'RGB')
+    hflip = HFlip(constants.COCO_KEYPOINTS,
+                  hflip_map_from_keypoints(constants.COCO_KEYPOINTS))
+    _, anns, _ = hflip(image, [det], None)
+    bb = np.asarray(anns[0].bbox)
+    np.testing.assert_allclose(bb, [199.0 - 40.0, 20.0, 30.0, 40.0])
+
+
 def test_hflip_map_from_keypoints():
     from openpifpaf_tpu.transforms.hflip import hflip_map_from_keypoints
 
