@@ -1,10 +1,26 @@
 """Benchmark: end-to-end forward + on-device decode throughput.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Measures images/s for the full predict step (ShuffleNetV2K-16 in bfloat16 +
 batched on-device CifCaf decode) at the reference's standard 641px eval
 resolution, on whatever accelerator jax.devices() provides.
+
+Measurement methodology (defends against proxy/tunnel pipelining and
+memoization — see CLAUDE.md "TPU timing over the tunnel is unreliable"):
+
+- N *distinct* random input batches are staged on device before timing.
+- Every call is data-dependent on the previous call's decode result (a
+  scalar carry perturbs the next input), so calls can neither be reordered,
+  overlapped, nor served from a value cache.
+- The carry scalar is read back to the host (``float()``) every iteration,
+  which forces real completion before the next timestamp.
+- Forward and decode are additionally timed as separate jitted programs so
+  the per-stage split is visible (reference records ``t_total``/``t_dec``
+  per image, ``src/openpifpaf/eval.py:~200``).
+- The implied FLOP/s (XLA cost analysis x measured rate) is checked against
+  the chip's peak; a physically impossible number is refused instead of
+  printed.
 
 Baseline (BASELINE.md): the reference end-to-end pipeline runs at
 ~25-50 ms/image (GPU forward + C++ CPU decode) => ~30 images/s; the decoder
@@ -13,15 +29,66 @@ throughput per chip on the end-to-end path.
 """
 
 import json
+import statistics
+import sys
 import time
 
 import numpy as np
 
 BASELINE_E2E_FPS = 30.0  # reference total ~33ms/img (BASELINE.md, UNVERIFIED)
 
+# per-chip dense peak FLOP/s at the bench's compute dtype (bf16 on TPU).
+# Sources: public TPU spec sheets (v4: 275 TF bf16; v5e: 197; v5p: 459;
+# v6e: 918).  Used only as an upper-bound sanity check.
+PEAK_FLOPS = (
+    ('TPU v6', 918e12),
+    ('TPU v5p', 459e12),
+    ('TPU v5', 197e12),     # v5e device_kind reports 'TPU v5 lite'/'TPU v5e'
+    ('TPU v4', 275e12),
+    ('TPU v3', 123e12),
+    ('TPU v2', 46e12),
+)
+
+
+def chip_peak_flops(device) -> float:
+    kind = (getattr(device, 'device_kind', '') or '')
+    for prefix, peak in PEAK_FLOPS:
+        if kind.startswith(prefix):
+            return peak
+    if device.platform == 'tpu':
+        return 197e12
+    # CPU/GPU fallback: generous so the guard still catches nonsense
+    return 100e12
+
+
+def chained_time(step, inputs, n_iters: int):
+    """Median wall-clock per call; each call depends on the previous one.
+
+    ``step(x, carry) -> (out, carry_scalar)``; the carry is fetched to the
+    host every iteration (forces completion, defeats pipelining) and varies
+    the next call's input (defeats memoization).
+    """
+    import jax
+
+    carry = jax.numpy.zeros((), jax.numpy.float32)
+    # warmup/compile on the first staged input
+    out, carry = step(inputs[0], carry)
+    jax.block_until_ready((out, carry))
+
+    times = []
+    for i in range(n_iters):
+        x = inputs[i % len(inputs)]
+        start = time.perf_counter()
+        out, carry = step(x, carry)
+        carry_host = float(carry)          # host readback: hard sync point
+        times.append(time.perf_counter() - start)
+        assert np.isfinite(carry_host), 'non-finite carry — broken pipeline'
+    return statistics.median(times), times
+
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from openpifpaf_tpu import models, ops
     from openpifpaf_tpu import headmeta
@@ -29,6 +96,8 @@ def main():
 
     batch = 8
     image_hw = (641, 641)
+    n_staged = 4      # distinct input batches staged before timing
+    n_iters = 12
 
     cif = headmeta.Cif('cif', 'cocokp',
                        keypoints=constants.COCO_KEYPOINTS,
@@ -41,39 +110,100 @@ def main():
     factory = models.Factory(base_name='shufflenetv2k16', bf16=True)
     model = factory.from_scratch('shufflenetv2k16', [cif, caf])
     model.init(jax.random.key(0), input_hw=(65, 65))
+    variables = model.variables
 
     config = ops.CifCafConfig(stride=16, image_hw=image_hw)
     decode = ops.make_batch_decoder(cif_meta=cif, caf_meta=caf, config=config)
 
     @jax.jit
-    def predict_step(variables, images):
+    def predict_step(variables, images, carry):
+        images = images + carry * 1e-6     # data dependence on previous call
         fields = model.module.apply(variables, images, train=False)
-        return decode(fields[0], fields[1])
+        decoded = decode(fields[0], fields[1])
+        new_carry = decoded.scores.sum().astype(jnp.float32) \
+            + decoded.xyv.sum().astype(jnp.float32) * 1e-3
+        return decoded, new_carry
+
+    @jax.jit
+    def forward_step(variables, images, carry):
+        images = images + carry * 1e-6
+        fields = model.module.apply(variables, images, train=False)
+        new_carry = fields[0].sum().astype(jnp.float32)
+        return fields, new_carry
+
+    @jax.jit
+    def decode_step(fields, carry):
+        cif_f = fields[0] + carry * 1e-6
+        decoded = decode(cif_f, fields[1])
+        new_carry = decoded.scores.sum().astype(jnp.float32)
+        return decoded, new_carry
 
     rng = np.random.default_rng(0)
-    images = jax.device_put(
-        rng.normal(size=(batch, *image_hw, 3)).astype(np.float32))
-    variables = model.variables
+    staged = [
+        jax.device_put(
+            rng.normal(size=(batch, *image_hw, 3)).astype(np.float32))
+        for _ in range(n_staged)
+    ]
 
-    # warmup / compile
-    out = predict_step(variables, images)
-    jax.block_until_ready(out)
+    # --- end-to-end (headline) ---
+    e2e_median, _ = chained_time(
+        lambda x, c: predict_step(variables, x, c), staged, n_iters)
 
-    n_iters = 10
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out = predict_step(variables, images)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
+    # --- per-stage split ---
+    fwd_median, _ = chained_time(
+        lambda x, c: forward_step(variables, x, c), staged, n_iters)
+    staged_fields = []
+    for x in staged:
+        f, _ = forward_step(variables, x, jnp.zeros((), jnp.float32))
+        staged_fields.append(jax.block_until_ready(f))
+    dec_median, _ = chained_time(decode_step, staged_fields, n_iters)
 
-    fps = batch * n_iters / elapsed
+    fps = batch / e2e_median
+
+    # --- physical sanity: implied FLOP/s must not exceed chip peak ---
+    device = jax.devices()[0]
+    cost = predict_step.lower(
+        variables, staged[0],
+        jnp.zeros((), jnp.float32)).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    program_flops = float((cost or {}).get('flops', 0.0))
+    implied_flops = program_flops / e2e_median if e2e_median > 0 else 0.0
+    peak = chip_peak_flops(device)
+    if program_flops > 0 and implied_flops > peak:
+        print(
+            f'REFUSING to report: implied {implied_flops / 1e12:.1f} TFLOP/s '
+            f'exceeds {device.device_kind} peak {peak / 1e12:.0f} TFLOP/s — '
+            'the measurement environment is not trustworthy '
+            '(tunnel pipelining/memoization?)', file=sys.stderr)
+        print(json.dumps({
+            'metric': 'e2e_forward_decode_fps_641px_sn2k16',
+            'value': None,
+            'unit': 'images/s',
+            'vs_baseline': None,
+            'error': 'implied FLOP/s exceeds chip peak',
+            'implied_tflops': round(implied_flops / 1e12, 2),
+            'chip_peak_tflops': round(peak / 1e12, 1),
+        }))
+        return 1
+
     print(json.dumps({
         'metric': 'e2e_forward_decode_fps_641px_sn2k16',
         'value': round(fps, 2),
         'unit': 'images/s',
         'vs_baseline': round(fps / BASELINE_E2E_FPS, 2),
+        'ms_per_image_total': round(e2e_median / batch * 1e3, 3),
+        'ms_per_image_forward': round(fwd_median / batch * 1e3, 3),
+        'ms_per_image_decode': round(dec_median / batch * 1e3, 3),
+        'batch': batch,
+        'implied_tflops': round(implied_flops / 1e12, 2),
+        'chip_peak_tflops': round(peak / 1e12, 1),
+        'mfu_pct': (round(100.0 * implied_flops / peak, 2)
+                    if program_flops else None),
+        'device': getattr(device, 'device_kind', device.platform),
     }))
+    return 0
 
 
 if __name__ == '__main__':
-    main()
+    sys.exit(main())

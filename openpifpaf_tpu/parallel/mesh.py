@@ -28,18 +28,28 @@ def initialize_distributed() -> None:
 
     Uses jax.distributed with the standard env variables
     (``JAX_COORDINATOR``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``) or cloud
-    auto-detection.  No-op when single-process.
+    auto-detection.  No-op when the variables are absent or when already
+    initialized.
+
+    NOTE: must run before anything touches a JAX backend — even
+    ``jax.process_count()`` initializes the local client, after which
+    ``jax.distributed.initialize`` raises.  Exercised for real by
+    ``tests/test_multiprocess.py`` (2 CPU processes over a localhost
+    coordinator).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     coordinator = os.environ.get('JAX_COORDINATOR')
-    if coordinator:
+    if not coordinator:
+        return
+    try:
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=int(os.environ['JAX_NUM_PROCESSES']),
             process_id=int(os.environ['JAX_PROCESS_ID']))
-        LOG.info('distributed: process %d/%d', jax.process_index(),
-                 jax.process_count())
+    except RuntimeError as exc:
+        # already initialized (idempotent second call) — keep going
+        LOG.warning('jax.distributed.initialize: %s', exc)
+    LOG.info('distributed: process %d/%d', jax.process_index(),
+             jax.process_count())
 
 
 def data_mesh(n_devices: Optional[int] = None,

@@ -1,0 +1,129 @@
+"""Real multi-process distributed execution tests.
+
+What the reference covers with DDP (``src/openpifpaf/train.py:~160``,
+NCCL/gloo process groups) and what the virtual 8-device single-process mesh
+tests cannot: two actual OS processes rendezvous through
+``jax.distributed.initialize`` (the ``JAX_COORDINATOR`` path in
+``parallel/mesh.py``), assemble one global mesh, and run a real train step
+whose result must equal the single-process run bit-for-bit (up to float
+reduction order).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      'multiprocess_worker.py')
+
+
+def free_port() -> int:
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        return s.getsockname()[1]
+
+
+def base_env(n_local_devices: int) -> dict:
+    env = dict(os.environ)
+    env.pop('JAX_COORDINATOR', None)
+    env.pop('JAX_NUM_PROCESSES', None)
+    env.pop('JAX_PROCESS_ID', None)
+    env['PALLAS_AXON_POOL_IPS'] = ''
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = \
+        f'--xla_force_host_platform_device_count={n_local_devices}'
+    return env
+
+
+def run_single(out_path: str, timeout: int = 420):
+    result = subprocess.run(
+        [sys.executable, WORKER, out_path],
+        cwd=REPO_ROOT, env=base_env(4), capture_output=True, text=True,
+        timeout=timeout)
+    assert result.returncode == 0, result.stderr[-4000:]
+    assert 'WORKER_DONE' in result.stdout
+
+
+def run_multi(out_path: str, n_processes: int = 2, timeout: int = 420):
+    port = free_port()
+    procs = []
+    for pid in range(n_processes):
+        env = base_env(4 // n_processes)
+        env['JAX_COORDINATOR'] = f'localhost:{port}'
+        env['JAX_NUM_PROCESSES'] = str(n_processes)
+        env['JAX_PROCESS_ID'] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, out_path],
+            cwd=REPO_ROOT, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for code, out, err in outs:
+        assert code == 0, err[-4000:]
+        assert 'WORKER_DONE' in out
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single(tmp_path):
+    """2 processes x 2 CPU devices == 1 process x 4 CPU devices: the
+    donated jitted train step must produce identical params and loss."""
+    single = str(tmp_path / 'single.npz')
+    multi = str(tmp_path / 'multi.npz')
+    run_single(single)
+    run_multi(multi)
+
+    a = np.load(single)
+    b = np.load(multi)
+    assert int(a['n_processes']) == 1
+    assert int(b['n_processes']) == 2
+    assert int(a['n_devices']) == int(b['n_devices']) == 4
+    np.testing.assert_allclose(a['loss'], b['loss'], rtol=1e-5, atol=1e-6)
+    keys = sorted(k for k in a.files if k.startswith('param'))
+    assert keys == sorted(k for k in b.files if k.startswith('param'))
+    assert len(keys) > 50  # a real model, not a toy tree
+    for k in keys:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-4, atol=1e-6,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
+def test_train_cli_ddp_two_processes(tmp_path):
+    """``train.py --ddp`` end-to-end with 2 real processes: rank 0 writes
+    the checkpoint/log, both ranks finish cleanly."""
+    out = str(tmp_path / 'model')
+    port = free_port()
+    args = ['--dataset=toykp', '--basenet=shufflenetv2k16', '--batch-size=2',
+            '--toykp-n-images=8', '--toykp-image-size=81', '--no-bf16',
+            '--log-interval=1', '--epochs=1', '--ddp', '--output', out]
+    procs = []
+    for pid in range(2):
+        env = base_env(2)
+        env['JAX_COORDINATOR'] = f'localhost:{port}'
+        env['JAX_NUM_PROCESSES'] = '2'
+        env['JAX_PROCESS_ID'] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, '-m', 'openpifpaf_tpu.train'] + args,
+            cwd=REPO_ROOT, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-4000:]
+    assert os.path.exists(out + '.epoch001.npz')
+    assert os.path.exists(out + '.log')
