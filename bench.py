@@ -61,6 +61,14 @@ def chip_peak_flops(device) -> float:
     return 100e12
 
 
+def log(msg: str) -> None:
+    print(f'[bench +{time.perf_counter() - _T0:7.1f}s] {msg}',
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def chained_time(step, inputs, n_iters: int):
     """Median wall-clock per call; each call depends on the previous one.
 
@@ -71,7 +79,7 @@ def chained_time(step, inputs, n_iters: int):
     import jax
 
     carry = jax.numpy.zeros((), jax.numpy.float32)
-    # warmup/compile on the first staged input
+    # warmup on the first staged input
     out, carry = step(inputs[0], carry)
     jax.block_until_ready((out, carry))
 
@@ -144,27 +152,38 @@ def main():
             rng.normal(size=(batch, *image_hw, 3)).astype(np.float32))
         for _ in range(n_staged)
     ]
+    zero = jnp.zeros((), jnp.float32)
+
+    # AOT-compile each program exactly once; the compiled objects serve
+    # both the timed calls and the FLOP cost analysis
+    log('compiling e2e predict step...')
+    predict_c = predict_step.lower(variables, staged[0], zero).compile()
+    log('compiling forward step...')
+    forward_c = forward_step.lower(variables, staged[0], zero).compile()
 
     # --- end-to-end (headline) ---
+    log('timing e2e...')
     e2e_median, _ = chained_time(
-        lambda x, c: predict_step(variables, x, c), staged, n_iters)
+        lambda x, c: predict_c(variables, x, c), staged, n_iters)
 
     # --- per-stage split ---
+    log('timing forward...')
     fwd_median, _ = chained_time(
-        lambda x, c: forward_step(variables, x, c), staged, n_iters)
+        lambda x, c: forward_c(variables, x, c), staged, n_iters)
     staged_fields = []
     for x in staged:
-        f, _ = forward_step(variables, x, jnp.zeros((), jnp.float32))
+        f, _ = forward_c(variables, x, zero)
         staged_fields.append(jax.block_until_ready(f))
-    dec_median, _ = chained_time(decode_step, staged_fields, n_iters)
+    log('compiling decode step...')
+    decode_c = decode_step.lower(staged_fields[0], zero).compile()
+    log('timing decode...')
+    dec_median, _ = chained_time(decode_c, staged_fields, n_iters)
 
     fps = batch / e2e_median
 
     # --- physical sanity: implied FLOP/s must not exceed chip peak ---
     device = jax.devices()[0]
-    cost = predict_step.lower(
-        variables, staged[0],
-        jnp.zeros((), jnp.float32)).compile().cost_analysis()
+    cost = predict_c.cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0] if cost else {}
     program_flops = float((cost or {}).get('flops', 0.0))
