@@ -58,19 +58,32 @@ class DecodedPoses(NamedTuple):
     n_dropped_poses: jnp.ndarray  # (...,) seeds beyond the max_poses budget
 
 
-def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
-                         cif_meta, caf_meta,
-                         config: CifCafConfig) -> DecodedPoses:
-    """Decode one image's raw (packed) CIF/CAF head tensors.
+class FrontEnd(NamedTuple):
+    """Shared decode front-end outputs (everything before pose growth).
 
-    cif_field: (Fk, 5, H, W); caf_field: (Fe, 9, H, W) — raw head outputs
-    (activations applied here).
+    Both the production parallel growth and the sequential-faithful oracle
+    (``ops/sequential_oracle.py``) consume exactly this, so any deviation
+    between them is pure growth/occupancy *scheduling* drift — the quantity
+    the drift harness (``tests/drift_harness.py``) bounds.
+    """
+
+    sds: seeds.Seeds
+    cands: caf_scored.CafCandidates
+    cands_fc: caf_scored.CafCandidates  # None unless force-complete 2nd set
+    scale_px: jnp.ndarray               # (Fk, H, W) CIF scale field, px
+    n_dropped_cif: jnp.ndarray
+    n_dropped_caf: jnp.ndarray
+
+
+def decode_front_end(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
+                     cif_meta, caf_meta, config: CifCafConfig) -> FrontEnd:
+    """CifHr accumulation -> seed selection -> CAF candidate scoring.
+
+    Reference parity: the first half of ``CifCaf::call``
+    (``src/openpifpaf/csrc/src/decoder/cifcaf.cpp:~80``).
     """
     stride = config.stride
     skeleton = np.asarray(caf_meta.skeleton, np.int32) - 1  # 0-based
-    score_weights = np.asarray(
-        cif_meta.score_weights if cif_meta.score_weights is not None
-        else [1.0] * cif_meta.n_fields, np.float32)
 
     cif = split_fields(cif_field, cif_meta)
     caf = split_fields(caf_field, caf_meta)
@@ -106,28 +119,67 @@ def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
                                     config=config.caf_fc,
                                     confidence_scales=conf_scales)
         n_dropped_caf = n_dropped_caf + cands_fc.n_dropped
+    return FrontEnd(sds=sds, cands=cands, cands_fc=cands_fc,
+                    scale_px=scale_px, n_dropped_cif=n_dropped_cif,
+                    n_dropped_caf=n_dropped_caf)
 
-    # 4) parallel frontier growth
-    edges = growth.directed_edges(skeleton)
-    poses, placed, pose_valid, _, n_dropped_poses = growth.init_poses(
-        sds, n_keypoints=fk, config=config.growth)
-    poses, placed = growth.grow(poses, placed, pose_valid, cands, edges,
-                                config.growth, force_cand=cands_fc)
 
-    # 5) joint scale refinement from the CIF scale field at joint positions
-    # (reference CifCaf fills joint_scales from the cif scale map)
+def finalize_poses(poses: jnp.ndarray, placed: jnp.ndarray,
+                   pose_valid: jnp.ndarray, scale_px: jnp.ndarray, *,
+                   score_weights, config: CifCafConfig):
+    """Joint-scale refinement + keypoint NMS + instance scoring.
+
+    The tail of ``CifCaf::call`` (reference runs NMSKeypoints after the
+    seed loop, ``cifcaf.cpp:~180``).  Shared by the production decode and
+    the oracle path of the drift harness so both are scored identically.
+    Returns (poses_out (P,K,4), joint_scales (P,K), scores (P,), valid (P,)).
+    """
+    fk = poses.shape[1]
     k_idx = jnp.broadcast_to(jnp.arange(fk, dtype=jnp.int32)[None, :],
                              poses.shape[:2])
     js_cif = gather_field(scale_px, k_idx, poses[..., 0], poses[..., 1],
-                          spacing=stride)
+                          spacing=config.stride)
     joint_scales = jnp.where(js_cif > 0.0, js_cif, poses[..., 3])
     joint_scales = jnp.where(placed, joint_scales, 0.0)
 
-    # 6) keypoint NMS + instance filtering
     poses = poses.at[..., 2].set(jnp.where(placed, poses[..., 2], 0.0))
     poses_out, scores, valid = nms.keypoint_nms(
         poses, pose_valid, joint_scales, jnp.asarray(score_weights),
         config.nms)
+    return poses_out, joint_scales, scores, valid
+
+
+def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
+                         cif_meta, caf_meta,
+                         config: CifCafConfig) -> DecodedPoses:
+    """Decode one image's raw (packed) CIF/CAF head tensors.
+
+    cif_field: (Fk, 5, H, W); caf_field: (Fe, 9, H, W) — raw head outputs
+    (activations applied here).
+    """
+    skeleton = np.asarray(caf_meta.skeleton, np.int32) - 1  # 0-based
+    score_weights = np.asarray(
+        cif_meta.score_weights if cif_meta.score_weights is not None
+        else [1.0] * cif_meta.n_fields, np.float32)
+
+    # 1-3) CifHr -> seeds -> scored CAF candidates
+    fe = decode_front_end(cif_field, caf_field, cif_meta=cif_meta,
+                          caf_meta=caf_meta, config=config)
+    fk = cif_meta.n_fields
+
+    # 4) parallel frontier growth
+    edges = growth.directed_edges(skeleton)
+    poses, placed, pose_valid, _, n_dropped_poses = growth.init_poses(
+        fe.sds, n_keypoints=fk, config=config.growth)
+    poses, placed = growth.grow(poses, placed, pose_valid, fe.cands, edges,
+                                config.growth, force_cand=fe.cands_fc)
+
+    # 5-6) joint scale refinement + keypoint NMS + instance filtering
+    poses_out, joint_scales, scores, valid = finalize_poses(
+        poses, placed, pose_valid, fe.scale_px,
+        score_weights=score_weights, config=config)
+    n_dropped_cif = fe.n_dropped_cif
+    n_dropped_caf = fe.n_dropped_caf
 
     return DecodedPoses(
         xyv=poses_out[..., :3],

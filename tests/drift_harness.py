@@ -1,0 +1,253 @@
+"""Randomized crowd-scene drift harness: parallel decode vs the oracle.
+
+SURVEY.md §7 "hard parts": the reference decoder is order-dependent — seeds
+are consumed in score order against an occupancy grid
+(``src/openpifpaf/csrc/src/decoder/cifcaf.cpp:~140``) — while the
+production decoder grows all poses at once and substitutes seed dedup +
+NMS ``dedup_fraction`` for occupancy.  This harness quantifies that
+*scheduling* drift where it matters: dense, overlapping, scale-varied
+crowds with partial occlusion.
+
+Both paths consume the byte-identical jitted front-end
+(``ops.pipeline.decode_front_end``: CifHr -> seeds -> CAF candidates) and
+are finalized by the byte-identical NMS + scoring
+(``ops.pipeline.finalize_poses``), so every reported deviation is growth
+scheduling and occupancy-vs-dedup, nothing else.
+
+Used by ``tests/test_drift.py`` (CI gate) and ``tools/drift_report.py``
+(500-scene report -> DRIFT.md).
+"""
+
+import dataclasses
+
+import numpy as np
+
+from openpifpaf_tpu.ops import growth, pipeline, sequential_oracle
+from openpifpaf_tpu.plugins.coco import constants
+
+from test_decoder import build_fields, metas
+
+SIGMAS = np.asarray(constants.COCO_PERSON_SIGMAS, np.float32)
+SCORE_WEIGHTS = np.asarray(constants.COCO_PERSON_SCORE_WEIGHTS, np.float32)
+IMAGE_HW = (961, 961)   # 61x61 field grid at stride 16
+GRID_HW = (61, 61)
+_HFLIP_PERM = np.asarray([
+    constants.COCO_KEYPOINTS.index(constants.HFLIP.get(name, name))
+    for name in constants.COCO_KEYPOINTS], np.int32)
+
+
+def harness_config(**growth_updates) -> pipeline.CifCafConfig:
+    """Production defaults with budgets raised so static-budget overflow
+    (which hits both paths identically) does not mask scheduling drift at
+    60-pose density."""
+    config = pipeline.CifCafConfig(stride=16, image_hw=IMAGE_HW)
+    config = dataclasses.replace(
+        config,
+        seeds=dataclasses.replace(config.seeds, max_seeds=1024),
+        caf=dataclasses.replace(config.caf, max_candidates=512),
+        growth=dataclasses.replace(config.growth, max_poses=128,
+                                   **growth_updates),
+    )
+    return config
+
+
+# ---------------------------------------------------------------------------
+# scene generation
+# ---------------------------------------------------------------------------
+
+def random_scene(rng: np.random.Generator, n_poses: int):
+    """n_poses clustered, scale-varied, partially occluded upright poses.
+
+    Returns a list of (kp (17,3) px, scales (17,) px) painting inputs.
+    Clustering forces overlap (the occupancy-order regime); random hflip
+    and per-joint jitter vary the geometry.
+    """
+    h, w = IMAGE_HW
+    n_clusters = max(1, int(np.ceil(n_poses / 6)))
+    clusters = rng.uniform(150, min(h, w) - 150, size=(n_clusters, 2))
+    poses = []
+    for _ in range(n_poses):
+        scale = float(rng.uniform(8.0, 22.0))
+        cx, cy = clusters[int(rng.integers(n_clusters))]
+        cx += float(rng.normal(0, 70.0))
+        cy += float(rng.normal(0, 70.0))
+
+        unit = constants.COCO_UPRIGHT_POSE.copy()   # x in +-1.75, y in 0..9.7
+        if rng.uniform() < 0.5:
+            unit = unit[_HFLIP_PERM]
+            unit[:, 0] = -unit[:, 0]
+        kp = np.zeros((17, 3), np.float32)
+        kp[:, 0] = unit[:, 0] * scale + cx
+        kp[:, 1] = (9.7 - unit[:, 1]) * scale + cy - 4.85 * scale
+        kp[:, :2] += rng.normal(0, 0.06 * scale, size=(17, 2))
+        kp[:, 0] = np.clip(kp[:, 0], 8.0, w - 9.0)
+        kp[:, 1] = np.clip(kp[:, 1], 8.0, h - 9.0)
+        kp[:, 2] = 2.0
+
+        # partial occlusion: drop a random subset of joints
+        if rng.uniform() < 0.4:
+            n_drop = int(rng.integers(3, 11))
+            drop = rng.choice(17, size=n_drop, replace=False)
+            kp[drop, 2] = 0.0
+
+        scales = np.maximum(4.0, SIGMAS * scale * 4)
+        poses.append((kp, scales))
+    return poses
+
+
+# ---------------------------------------------------------------------------
+# decode paths
+# ---------------------------------------------------------------------------
+
+class Harness:
+    """Compiled-once front-end + production back-end + oracle runner."""
+
+    def __init__(self, config: pipeline.CifCafConfig = None):
+        import jax
+
+        self.config = config or harness_config()
+        self.cif_meta, self.caf_meta = metas()
+        self.skeleton = np.asarray(self.caf_meta.skeleton, np.int32) - 1
+        edges = growth.directed_edges(self.skeleton)
+        cfg = self.config
+
+        @jax.jit
+        def front(cif, caf):
+            return pipeline.decode_front_end(
+                cif, caf, cif_meta=self.cif_meta, caf_meta=self.caf_meta,
+                config=cfg)
+
+        @jax.jit
+        def back(fe):
+            poses, placed, pose_valid, _, _ = growth.init_poses(
+                fe.sds, n_keypoints=17, config=cfg.growth)
+            poses, placed = growth.grow(poses, placed, pose_valid, fe.cands,
+                                        edges, cfg.growth,
+                                        force_cand=fe.cands_fc)
+            return pipeline.finalize_poses(
+                poses, placed, pose_valid, fe.scale_px,
+                score_weights=SCORE_WEIGHTS, config=cfg)
+
+        @jax.jit
+        def finalize(poses, placed, pose_valid, scale_px):
+            return pipeline.finalize_poses(
+                poses, placed, pose_valid, scale_px,
+                score_weights=SCORE_WEIGHTS, config=cfg)
+
+        self._front = front
+        self._back = back
+        self._finalize = finalize
+
+    def decode_both(self, scene):
+        """scene: list of (kp, scales) -> (parallel poses, oracle poses),
+        each a score-descending list of (xyv (17,3), score)."""
+        cif, caf = build_fields(scene, h=GRID_HW[0], w=GRID_HW[1])
+        fe = self._front(cif, caf)
+
+        p_poses, _, p_scores, p_valid = self._back(fe)
+        parallel = _extract(np.asarray(p_poses), np.asarray(p_scores),
+                            np.asarray(p_valid))
+
+        o_list = sequential_oracle.decode_sequential(
+            fe.sds, fe.cands, self.skeleton, n_keypoints=17,
+            image_hw=self.config.image_hw, config=self.config.growth,
+            force_cand=fe.cands_fc)
+        p_budget = self.config.growth.max_poses
+        o_poses = np.zeros((p_budget, 17, 4), np.float32)
+        o_placed = np.zeros((p_budget, 17), bool)
+        o_valid = np.zeros(p_budget, bool)
+        for i, pose in enumerate(o_list[:p_budget]):
+            o_poses[i] = pose
+            o_placed[i] = pose[:, 2] > 0
+            o_valid[i] = True
+        oo_poses, _, oo_scores, oo_valid = self._finalize(
+            o_poses, o_placed, o_valid, fe.scale_px)
+        oracle = _extract(np.asarray(oo_poses), np.asarray(oo_scores),
+                          np.asarray(oo_valid))
+        return parallel, oracle
+
+
+def _extract(poses, scores, valid):
+    out = [(poses[i, :, :3], float(scores[i]))
+           for i in range(len(valid)) if valid[i]]
+    out.sort(key=lambda t: -t[1])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# agreement metrics
+# ---------------------------------------------------------------------------
+
+def oks(ref_xyv, other_xyv):
+    """OKS of ``other`` against ``ref`` (visible-in-ref joints)."""
+    vis = ref_xyv[:, 2] > 0
+    if vis.sum() == 0:
+        return 0.0
+    x, y = ref_xyv[vis, 0], ref_xyv[vis, 1]
+    area = max(float((x.max() - x.min()) * (y.max() - y.min())), 1.0)
+    d2 = ((ref_xyv[:, :2] - other_xyv[:, :2]) ** 2).sum(-1)
+    e = d2 / (2.0 * area * (2.0 * SIGMAS) ** 2)
+    return float(np.exp(-e)[vis].mean())
+
+
+def scene_agreement(parallel, oracle, *, oks_match: float = 0.5):
+    """Greedy OKS matching (oracle score order); per-scene metrics dict."""
+    used = set()
+    matched = []
+    for o_xyv, o_score in oracle:
+        best, best_oks = None, oks_match
+        for pi, (p_xyv, _) in enumerate(parallel):
+            if pi in used:
+                continue
+            v = oks(o_xyv, p_xyv)
+            if v > best_oks:
+                best, best_oks = pi, v
+        if best is not None:
+            used.add(best)
+            matched.append((o_xyv, o_score, *parallel[best], best_oks))
+
+    n_o, n_p, n_m = len(oracle), len(parallel), len(matched)
+    f1 = 2.0 * n_m / (n_o + n_p) if (n_o + n_p) else 1.0
+    if matched:
+        mean_oks = float(np.mean([m[4] for m in matched]))
+        score_delta = float(np.mean([abs(m[1] - m[3]) for m in matched]))
+        joint_agree = float(np.mean([
+            ((m[0][:, 2] > 0) == (m[2][:, 2] > 0)).mean() for m in matched]))
+    else:
+        mean_oks = score_delta = joint_agree = float('nan')
+    return {
+        'n_oracle': n_o, 'n_parallel': n_p, 'n_matched': n_m, 'f1': f1,
+        'mean_oks': mean_oks, 'score_delta': score_delta,
+        'joint_agreement': joint_agree,
+    }
+
+
+def run_scenes(harness: Harness, seeds_and_densities):
+    """[(seed, n_poses), ...] -> list of per-scene metrics dicts."""
+    results = []
+    for seed, n_poses in seeds_and_densities:
+        rng = np.random.default_rng(seed)
+        scene = random_scene(rng, n_poses)
+        parallel, oracle = harness.decode_both(scene)
+        m = scene_agreement(parallel, oracle)
+        m['seed'] = seed
+        m['n_poses'] = n_poses
+        results.append(m)
+    return results
+
+
+def aggregate(results):
+    """Micro-averaged detection agreement + means of per-scene metrics."""
+    n_o = sum(r['n_oracle'] for r in results)
+    n_p = sum(r['n_parallel'] for r in results)
+    n_m = sum(r['n_matched'] for r in results)
+    vals = {k: [r[k] for r in results if np.isfinite(r[k])]
+            for k in ('mean_oks', 'score_delta', 'joint_agreement')}
+    return {
+        'n_scenes': len(results),
+        'n_oracle': n_o, 'n_parallel': n_p, 'n_matched': n_m,
+        'detection_f1': 2.0 * n_m / (n_o + n_p) if (n_o + n_p) else 1.0,
+        'mean_oks': float(np.mean(vals['mean_oks'])),
+        'mean_score_delta': float(np.mean(vals['score_delta'])),
+        'mean_joint_agreement': float(np.mean(vals['joint_agreement'])),
+    }
