@@ -14,11 +14,14 @@ import sys
 def cli(parser: argparse.ArgumentParser) -> None:
     group = parser.add_argument_group('logging')
     group.add_argument('--debug', default=False, action='store_true',
-                       help='print debug messages')
+                       help='print debug messages (also enables checkify '
+                            'runtime assertions)')
     group.add_argument('-q', '--quiet', default=False, action='store_true',
                        help='only warnings and errors')
     group.add_argument('--log-stats', default=False, action='store_true',
                        help='enable stats logging')
+    from . import debug_checks
+    debug_checks.cli(parser)
 
 
 def configure(args: argparse.Namespace, logger=None) -> None:
@@ -31,3 +34,5 @@ def configure(args: argparse.Namespace, logger=None) -> None:
                         format='%(levelname)s:%(name)s:%(message)s')
     from . import __version__
     logging.getLogger(__name__).info('openpifpaf_tpu %s', __version__)
+    from . import debug_checks
+    debug_checks.configure(args)

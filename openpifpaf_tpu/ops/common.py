@@ -9,6 +9,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .. import debug_checks
+
 
 def lookup_bilinear(grid: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                     spacing: float = 1.0) -> jnp.ndarray:
@@ -18,6 +20,9 @@ def lookup_bilinear(grid: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     are clamped (same behavior as the reference decoder's clipped reads,
     ``csrc`` clip helpers).
     """
+    # NaN coordinates clamp to garbage silently; trip under --debug-checks
+    debug_checks.check_finite(x, 'lookup_bilinear: non-finite x')
+    debug_checks.check_finite(y, 'lookup_bilinear: non-finite y')
     hg, wg = grid.shape[-2], grid.shape[-1]
     gx = jnp.clip(x / spacing, 0.0, wg - 1.0)
     gy = jnp.clip(y / spacing, 0.0, hg - 1.0)
@@ -41,6 +46,11 @@ def gather_field(grids: jnp.ndarray, f: jnp.ndarray, x: jnp.ndarray,
 
     grids: (F, Hg, Wg); f, x, y: any broadcast-compatible shape -> same shape.
     """
+    debug_checks.check_finite(x, 'gather_field: non-finite x')
+    debug_checks.check_finite(y, 'gather_field: non-finite y')
+    debug_checks.check(
+        jnp.all((f >= 0) & (f < grids.shape[0])),
+        'gather_field: field index out of bounds')
     hg, wg = grids.shape[-2], grids.shape[-1]
     gx = jnp.clip(x / spacing, 0.0, wg - 1.0)
     gy = jnp.clip(y / spacing, 0.0, hg - 1.0)

@@ -20,6 +20,7 @@ import numpy as np
 
 from . import caf_scored, cif_hr, growth, nms, seeds
 from .common import gather_field
+from .. import debug_checks
 from ..models.heads import split_fields
 
 
@@ -201,4 +202,15 @@ def make_batch_decoder(*, cif_meta, caf_meta, config: CifCafConfig):
     """
     fn = functools.partial(decode_cifcaf_single, cif_meta=cif_meta,
                            caf_meta=caf_meta, config=config)
+    if debug_checks.enabled():
+        # checkify does not compose with vmap's batched error payloads;
+        # debug mode trades batching for per-image checked programs (the
+        # NaN/OOB assertions in ops/common.py become real runtime raises)
+        checked = debug_checks.checked_jit(fn)
+
+        def decode_batch(cif_fields, caf_fields):
+            outs = [checked(cif_fields[i], caf_fields[i])
+                    for i in range(cif_fields.shape[0])]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        return decode_batch
     return jax.jit(jax.vmap(fn))

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .optimize import OptimizeFactory
+from .. import debug_checks
 from ..configurable import Configurable
 from ..models import checkpoint as checkpoint_mod
 from ..parallel import mesh as mesh_mod
@@ -182,6 +183,8 @@ class Trainer(Configurable):
                 fields = apply_eval(variables, images)
                 new_stats = batch_stats
             total, comps = loss_fn(fields, targets, log_sigmas=log_sigmas)
+            # SURVEY §5.2 sanitizer substitute: traced only when enabled
+            debug_checks.check_finite(total, 'non-finite training loss')
             return total, (jnp.stack(comps), new_stats)
 
         def train_step(state: TrainState, images, targets):
@@ -219,9 +222,9 @@ class Trainer(Configurable):
                 images, targets, False)
             return total, comps
 
-        donate = jax.jit(train_step, donate_argnums=0)
-        self._train_step = donate
-        self._val_step = jax.jit(val_step)
+        self._train_step = debug_checks.checked_jit(
+            train_step, donate_argnums=0)
+        self._val_step = debug_checks.checked_jit(val_step)
 
     # -- logging --------------------------------------------------------
     def log_line(self, data: dict) -> None:

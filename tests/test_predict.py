@@ -69,6 +69,19 @@ def test_predict_json(checkpoint_and_image, tmp_path):
         assert set(ann) >= {'keypoints', 'bbox', 'score', 'category_id'}
 
 
+def test_predict_debug_checks(checkpoint_and_image, tmp_path):
+    """--debug-checks routes decode through per-image checkify programs;
+    on clean inputs the CLI must behave identically."""
+    ckpt, img = checkpoint_and_image
+    out = str(tmp_path / 'out.json')
+    result = _run_cli([img, '--checkpoint', ckpt, '--json-output', out,
+                       '--long-edge', str(LONG_EDGE), '--no-bf16',
+                       '--debug-checks'])
+    assert result.returncode == 0, result.stderr
+    with open(out) as f:
+        assert isinstance(json.load(f), list)
+
+
 def test_predict_image_output(checkpoint_and_image, tmp_path):
     ckpt, img = checkpoint_and_image
     out = str(tmp_path / 'out.jpg')
