@@ -45,7 +45,13 @@ class DataModule:
     def val_loader(self):
         raise NotImplementedError
 
-    def eval_loader(self):
+    def eval_loader(self, *, long_edge=None, hflip=False):
+        """Eval loader; ``long_edge``/``hflip`` override the eval rescale
+        size and mirror the images (multi-scale eval: the Evaluator builds
+        one loader per (scale, hflip) variant and OKS-merges the decodes —
+        reference ``src/openpifpaf/transforms/multi_scale.py:~10``).
+        Datamodules that don't support variants may ignore the kwargs
+        only if they raise when given non-default values."""
         raise NotImplementedError
 
     def distributed_sampler(self, loader, *, host_id: int, n_hosts: int):

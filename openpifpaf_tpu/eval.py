@@ -36,6 +36,8 @@ class Evaluator:
                          # before timing starts (reference eval.py:~60)
 
     def run(self) -> dict:
+        if self.predictor.multi_scale:
+            return self.run_multi_scale()
         loader = self.datamodule.eval_loader()
         loader_iter = iter(loader)
         if self.loader_warmup:
@@ -51,8 +53,49 @@ class Evaluator:
             for metric in self.metrics:
                 metric.accumulate(pred, image_meta, ground_truth=gt)
             self.n_images += 1
-        total_time = time.perf_counter() - total_start
+        return self._stats(time.perf_counter() - total_start)
 
+    def run_multi_scale(self) -> dict:
+        """Eval-time multi-scale: one eval loader per (scale, hflip)
+        variant, per-image OKS merge, metrics on the merged set.
+
+        Reference: multi-scale eval via ``transforms/multi_scale.py:~10``;
+        here each variant is its own static-shape compiled program (TPU:
+        no dynamic shapes) and the merge reuses the Predictor machinery.
+        """
+        predictor = self.predictor
+        base = (getattr(self.datamodule, 'eval_long_edge', None)
+                or getattr(self.datamodule, 'image_size', None)
+                or predictor.long_edge)
+        long_edges = sorted({
+            max(2, int(round(base * f / 16))) * 16 + 1
+            for f in predictor.multi_scale_factors})
+        hflips = (False, True) if predictor.multi_scale_hflip else (False,)
+        variants = [(le, hf) for le in long_edges for hf in hflips]
+        reference_index = variants.index((max(long_edges), False))
+        LOG.info('multi-scale eval over %d variants: %s', len(variants),
+                 variants)
+
+        loaders = [self.datamodule.eval_loader(long_edge=le, hflip=hf)
+                   for le, hf in variants]
+        sigmas = getattr(predictor.model.head_metas[0], 'sigmas', None)
+
+        total_start = time.perf_counter()
+        # zip per-variant iterators: results stream image by image, each
+        # variant buffers at most one decoded batch
+        iterators = [predictor.dataset_loader(iter(loader))
+                     for loader in loaders]
+        for results in zip(*iterators):
+            ann_lists = [r[0] for r in results]
+            _, gt, image_meta = results[reference_index]
+            merged = predictor.merge_annotations(
+                ann_lists, sigmas=sigmas, reference_index=reference_index)
+            for metric in self.metrics:
+                metric.accumulate(merged, image_meta, ground_truth=gt)
+            self.n_images += 1
+        return self._stats(time.perf_counter() - total_start)
+
+    def _stats(self, total_time: float) -> dict:
         stats = {
             'n_images': self.n_images,
             'total_time': round(total_time, 3),

@@ -170,13 +170,18 @@ class CocoKp(DataModule):
             encoder.Encoders(encoder.factory(self.head_metas)),
         ])
 
-    def _eval_preprocess(self):
-        return transforms.Compose([
-            self._normalize(),
-            transforms.RescaleAbsolute(self.eval_long_edge),
-            transforms.CenterPad(self.eval_long_edge),
+    def _eval_preprocess(self, long_edge=None, hflip=False):
+        long_edge = long_edge or self.eval_long_edge
+        steps = [self._normalize()]
+        if hflip:
+            steps.append(transforms.HFlip(constants.COCO_KEYPOINTS,
+                                          constants.HFLIP))
+        steps += [
+            transforms.RescaleAbsolute(long_edge),
+            transforms.CenterPad(long_edge),
             transforms.EVAL_TRANSFORM,
-        ])
+        ]
+        return transforms.Compose(steps)
 
     def train_loader(self):
         dataset = CocoDataset(
@@ -196,10 +201,10 @@ class CocoKp(DataModule):
                       collate_fn=collate_images_targets_meta,
                       num_workers=self.loader_workers, drop_last=True)
 
-    def eval_loader(self):
+    def eval_loader(self, *, long_edge=None, hflip=False):
         dataset = CocoDataset(
             self.eval_image_dir, self.eval_annotations,
-            preprocess=self._eval_preprocess(),
+            preprocess=self._eval_preprocess(long_edge, hflip),
             annotation_filter=self.eval_annotation_filter,
             min_kp_anns=self.min_kp_anns if self.eval_annotation_filter else 0,
             category_ids=[1])

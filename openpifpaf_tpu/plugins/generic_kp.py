@@ -135,13 +135,20 @@ class GenericKpDataModule(DataModule):
         ]
         return transforms.Compose(steps)
 
-    def _eval_preprocess(self):
-        return transforms.Compose([
-            self._normalize(),
-            transforms.RescaleAbsolute(self.eval_long_edge),
-            transforms.CenterPad(self.eval_long_edge),
+    def _eval_preprocess(self, long_edge=None, hflip=False):
+        long_edge = long_edge or self.eval_long_edge
+        steps = [self._normalize()]
+        if hflip:
+            if not self.hflip:
+                raise ValueError(f'{self.name}: no hflip table — '
+                                 'use --no-multi-scale-hflip')
+            steps.append(transforms.HFlip(self.keypoints, self.hflip))
+        steps += [
+            transforms.RescaleAbsolute(long_edge),
+            transforms.CenterPad(long_edge),
             transforms.EVAL_TRANSFORM,
-        ])
+        ]
+        return transforms.Compose(steps)
 
     def train_loader(self):
         dataset = CocoDataset(
@@ -163,11 +170,12 @@ class GenericKpDataModule(DataModule):
                       collate_fn=collate_images_targets_meta,
                       num_workers=self.loader_workers, drop_last=True)
 
-    def eval_loader(self):
+    def eval_loader(self, *, long_edge=None, hflip=False):
         dataset = CocoDataset(
             self.eval_image_dir or self.val_image_dir,
             self.eval_annotations or self.val_annotations,
-            preprocess=self._eval_preprocess(), annotation_filter=True,
+            preprocess=self._eval_preprocess(long_edge, hflip),
+            annotation_filter=True,
             min_kp_anns=self.min_kp_anns,
             category_ids=list(self.categories))
         return Loader(dataset, batch_size=self.batch_size, shuffle=False,

@@ -175,13 +175,18 @@ class ToyKp(DataModule):
         ]
         return transforms.Compose(steps)
 
-    def _eval_preprocess(self):
-        return transforms.Compose([
-            self._normalize(),
-            transforms.RescaleAbsolute(self.image_size),
-            transforms.CenterPad(self.image_size),
+    def _eval_preprocess(self, long_edge=None, hflip=False):
+        long_edge = long_edge or self.image_size
+        steps = [self._normalize()]
+        if hflip:
+            steps.append(transforms.HFlip(constants.COCO_KEYPOINTS,
+                                          constants.HFLIP))
+        steps += [
+            transforms.RescaleAbsolute(long_edge),
+            transforms.CenterPad(long_edge),
             transforms.EVAL_TRANSFORM,
-        ])
+        ]
+        return transforms.Compose(steps)
 
     def train_loader(self):
         dataset = ToyKpDataset(self.n_images, self.image_size,
@@ -197,9 +202,10 @@ class ToyKp(DataModule):
                       collate_fn=collate_images_targets_meta,
                       num_workers=self.loader_workers, drop_last=True)
 
-    def eval_loader(self):
+    def eval_loader(self, *, long_edge=None, hflip=False):
         dataset = ToyKpDataset(self.n_val_images, self.image_size,
-                               self._eval_preprocess(), seed=1000)
+                               self._eval_preprocess(long_edge, hflip),
+                               seed=1000)
         return Loader(dataset, batch_size=self.batch_size, shuffle=False,
                       collate_fn=collate_images_anns_meta,
                       num_workers=self.loader_workers, drop_last=False)

@@ -44,6 +44,30 @@ def checkpoint(tmp_path_factory):
     return str(ckpt)
 
 
+def test_eval_cli_multi_scale(checkpoint, tmp_path):
+    """--multi-scale eval: per-(scale, hflip) variant loaders + OKS merge
+    (reference transforms/multi_scale.py:~10). Schema must match the
+    single-scale stats contract."""
+    env = dict(os.environ)
+    env['PALLAS_AXON_POOL_IPS'] = ''
+    env['JAX_PLATFORMS'] = 'cpu'
+    out = tmp_path / 'run_ms'
+    proc = subprocess.run(
+        [sys.executable, '-m', 'openpifpaf_tpu.eval',
+         '--dataset=toykp', f'--checkpoint={checkpoint}',
+         '--toykp-image-size=97', '--batch-size=4',
+         '--multi-scale', '--multi-scale-factors', '0.75', '1.0',
+         '-o', str(out)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    with open(str(out) + '.stats.json') as f:
+        stats = json.load(f)
+    assert stats['n_images'] == 8
+    assert stats['text_labels'][:3] == ['AP', 'AP0.5', 'AP0.75']
+    assert 'multi-scale eval over 4 variants' in (proc.stdout + proc.stderr)
+
+
 def test_eval_cli_stats_schema(checkpoint, tmp_path):
     env = dict(os.environ)
     env['PALLAS_AXON_POOL_IPS'] = ''
