@@ -5,6 +5,8 @@ consecutive-frame pairs from PoseTrack2018-format sequences (one json per
 sequence with ``images`` carrying ``frame_id`` and ``annotations`` carrying
 ``track_id``).  Requires the PoseTrack download; loader construction fails
 cleanly when the data directory is absent (registration is always safe).
+Exercised end to end against a synthesized fixture tree in
+``tests/test_posetrack2018.py`` (pairs -> encoders -> decode -> metrics).
 """
 
 from __future__ import annotations

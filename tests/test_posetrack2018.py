@@ -1,0 +1,182 @@
+"""PoseTrack2018 datamodule against a synthesized fixture tree.
+
+VERDICT r1 item 7: the datamodule was format-per-docstring only.  This
+builds a tiny fake PoseTrack2018 download (2 sequences x 4 frames, one
+sequence json each, per the upstream layout
+``src/openpifpaf/plugins/posetrack/posetrack2018.py``) and runs the full
+path: sequence jsons -> consecutive-frame pairs -> tracking encoders
+(train) / eval anns -> model forward -> TrackingPose decode ->
+Coco + PoseTrack (CLEAR-MOT style) metrics.
+"""
+
+import json
+import os
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from openpifpaf_tpu.plugins.posetrack import constants
+
+IMAGE_HW = (128, 160)   # h, w
+N_FRAMES = 4
+
+
+def _pose(cx, cy, scale=18.0):
+    unit = constants.UPRIGHT_POSE
+    kp = np.zeros((17, 3), np.float32)
+    kp[:, 0] = unit[:, 0] * scale / 9.7 + cx
+    kp[:, 1] = (9.7 - unit[:, 1]) * scale / 9.7 + cy - scale / 2
+    kp[:, 2] = 2.0
+    return kp
+
+
+def _sequence(seq_id, tmp, n_tracks=2):
+    """One PoseTrack2018 sequence: images dir + annotation json dict."""
+    rel_dir = f'images/val/{seq_id:06d}_mpii_test'
+    os.makedirs(tmp / rel_dir, exist_ok=True)
+    rng = np.random.default_rng(seq_id)
+    images, annotations = [], []
+    ann_id = seq_id * 1000
+    for frame in range(N_FRAMES):
+        file_name = f'{rel_dir}/{frame:06d}.jpg'
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (*IMAGE_HW, 3), np.uint8), 'RGB'
+        ).save(str(tmp / file_name))
+        image_id = seq_id * 100 + frame
+        images.append({
+            'id': image_id,
+            'frame_id': frame,
+            'file_name': file_name,
+            'has_labeled_person': True,
+            'is_labeled': frame > 0,
+        })
+        if frame == 0:
+            continue   # first frame unannotated (common in PoseTrack)
+        for track in range(n_tracks):
+            kp = _pose(40.0 + 60.0 * track + 3.0 * frame,
+                       60.0 + 2.0 * frame)
+            x, y = kp[:, 0], kp[:, 1]
+            ann_id += 1
+            annotations.append({
+                'id': ann_id,
+                'image_id': image_id,
+                'track_id': track,
+                'category_id': 1,
+                'keypoints': [float(v) for v in kp.reshape(-1)],
+                'bbox': [float(x.min()), float(y.min()),
+                         float(x.max() - x.min()), float(y.max() - y.min())],
+                'iscrowd': 0,
+            })
+    return {
+        'images': images,
+        'annotations': annotations,
+        'categories': [{'id': 1, 'name': 'person'}],
+    }
+
+
+@pytest.fixture(scope='module')
+def posetrack_root(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('posetrack2018')
+    for split in ('train', 'val'):
+        os.makedirs(tmp / 'annotations' / split, exist_ok=True)
+        for seq_id in (1, 2):
+            seq = _sequence(seq_id, tmp)
+            with open(tmp / 'annotations' / split
+                      / f'{seq_id:06d}_mpii_test.json', 'w') as f:
+                json.dump(seq, f)
+    return tmp
+
+
+@pytest.fixture()
+def datamodule(posetrack_root):
+    from openpifpaf_tpu import datasets
+
+    dm_type = datasets.DATAMODULES['posetrack2018']
+    saved = {k: getattr(dm_type, k) for k in
+             ('data_root', 'train_annotations', 'val_annotations',
+              'square_edge', 'batch_size')}
+    dm_type.data_root = str(posetrack_root)
+    dm_type.train_annotations = str(
+        posetrack_root / 'annotations/train/*.json')
+    dm_type.val_annotations = str(posetrack_root / 'annotations/val/*.json')
+    dm_type.square_edge = 81
+    dm_type.batch_size = 2
+    try:
+        yield dm_type()
+    finally:
+        for k, v in saved.items():
+            setattr(dm_type, k, v)
+
+
+def test_pairs_from_sequences(datamodule):
+    """2 sequences x 4 frames, first frame unannotated ->
+    (0,1),(1,2),(2,3) pairs per sequence."""
+    from openpifpaf_tpu.plugins.posetrack.posetrack2018 import (
+        PoseTrack2018Dataset)
+
+    dataset = PoseTrack2018Dataset(
+        datamodule._annotation_files(datamodule.val_annotations),
+        datamodule.data_root, preprocess=lambda im, an, me: (im, an, me))
+    assert len(dataset) == 6
+    images, anns_pair, meta = dataset[0]
+    assert len(images) == 2
+    assert images[0].size == (IMAGE_HW[1], IMAGE_HW[0])
+    prev_anns, curr_anns = anns_pair
+    assert prev_anns == []           # frame 0 unannotated
+    assert len(curr_anns) == 2
+    assert curr_anns[0]['keypoints'].shape == (17, 3)
+    assert {a['track_id'] for a in curr_anns} == {0, 1}
+
+
+def test_train_loader_encodes_tracking_targets(datamodule):
+    import jax
+    from openpifpaf_tpu import models
+
+    # head_index/base_stride are attached by the model factory; loaders
+    # must be created after it (CLAUDE.md convention)
+    models.Factory(base_name='shufflenetv2k16', bf16=False).factory(
+        head_metas=datamodule.head_metas, rng=jax.random.key(0))
+    images, targets, metas = next(iter(datamodule.train_loader()))
+    # 2 pairs interleaved -> 4 frames; tcaf target per pair
+    assert images.shape[0] == 4
+    assert images.shape[-1] == 3
+    assert len(targets) == len(datamodule.head_metas)
+    assert len(metas) == 2
+
+
+def test_eval_pipeline_end_to_end(datamodule):
+    """Loader -> forward -> TrackingPose decode -> Coco + PoseTrack
+    metrics -> stats.  Untrained model: AP/MOTA may be <= 0 but the whole
+    pipeline and the stats schema must hold."""
+    import jax
+    from openpifpaf_tpu import decoder as decoder_mod
+    from openpifpaf_tpu import models
+    from openpifpaf_tpu.decoder import TrackingPose
+
+    model = models.Factory(base_name='shufflenetv2k16', bf16=False).factory(
+        head_metas=datamodule.head_metas, rng=jax.random.key(0))
+    dec = decoder_mod.factory(model.head_metas)
+    assert isinstance(dec, TrackingPose)
+
+    metrics = datamodule.metrics()
+    n_images = 0
+    for images, gt_batch, meta_batch in datamodule.eval_loader():
+        fields = model(np.asarray(images))
+        pred_batch = dec.batch_fields(fields)
+        for preds, gts, meta in zip(pred_batch, gt_batch, meta_batch):
+            for metric_ in metrics:
+                metric_.accumulate(preds, meta, ground_truth=gts)
+            n_images += 1
+    assert n_images == 6
+
+    labels, values = [], []
+    for metric_ in metrics:
+        s = metric_.stats()
+        labels += list(s['text_labels'])
+        values += list(s['stats'])
+    assert 'AP' in labels
+    assert any('MOTA' in lab for lab in labels)
+    assert len(labels) == len(values)
+    for v in values:
+        assert np.isfinite(v) or v == -1.0
