@@ -186,6 +186,7 @@ def to_torch_state_dict(variables, *,
             forward[f'{coll}/basenet/{path}'] = torch_key
 
     out: Dict[str, np.ndarray] = {}
+    unmapped = []
     for path, value in flat.items():
         if path in forward:
             name = forward[path]
@@ -200,6 +201,15 @@ def to_torch_state_dict(variables, *,
                 out[f'head_nets.{head_i}.conv.weight'] = _conv_to_torch(value)
             else:
                 out[f'head_nets.{head_i}.conv.bias'] = value
+            continue
+        unmapped.append(path)
+    if unmapped:
+        # a silent drop here would corrupt every parity comparison built
+        # on the exported checkpoint — refuse instead
+        raise ValueError(
+            f'{len(unmapped)} variables have no torch mapping (candidate '
+            f'grid in _enumerate_torch_keys too small, or unsupported '
+            f'module): {unmapped[:8]}')
     return out
 
 

@@ -1,0 +1,208 @@
+"""Reference-mount parity readiness: run the day /root/reference works.
+
+VERDICT r1 item 9: AP-vs-reference parity was unadjudicable because the
+reference mount was empty.  This script packages the whole parity flow so
+it can run the moment the mount is populated:
+
+1. locate a reference torch checkpoint (or take ``--checkpoint``),
+2. extract/convert the state dict onto this framework's parameter tree
+   (``models/converter.py`` via ``migrate --from-torch``, including the
+   whole-pickled-module branch of ``load_torch_checkpoint``),
+3. load the converted checkpoint and, when the reference package itself is
+   importable, compare raw forward fields tensor by tensor,
+4. print the eval command for the AP comparison.
+
+``--smoke`` exercises steps 2-3 end to end right now against synthetic
+torch-format checkpoints in all three container formats the reference
+produces (raw state dict, ``{'model': ...}`` dict, whole pickled module)
+— see ``tests/test_parity_readiness.py``.
+
+Usage::
+
+    python tools/parity_when_mounted.py --smoke
+    python tools/parity_when_mounted.py \
+        --checkpoint /root/reference/.../shufflenetv2k16.pt \
+        --image some.jpg --coco-annotations person_keypoints_val2017.json
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+REFERENCE_ROOT = '/root/reference'
+CKPT_PATTERNS = ('**/*.pt', '**/*.pth', '**/*.pkl', '**/*.ckpt',
+                 '**/*.pth.tar')
+
+
+class _StateDictCarrier:
+    """Stand-in for the reference's whole-pickled-module checkpoints
+    (``torch.save(model, ...)``): an object exposing ``state_dict()``."""
+
+    def __init__(self, state_dict):
+        self._state_dict = state_dict
+
+    def state_dict(self):
+        return self._state_dict
+
+
+def find_reference_checkpoints(root: str = REFERENCE_ROOT):
+    found = []
+    for pattern in CKPT_PATTERNS:
+        found += glob.glob(os.path.join(root, pattern), recursive=True)
+    return sorted(set(found))
+
+
+def build_model(basenet: str = 'shufflenetv2k16'):
+    import jax
+    from openpifpaf_tpu import datasets, models
+
+    datamodule = datasets.factory('cocokp')
+    factory = models.Factory(base_name=basenet, bf16=False)
+    return factory.factory(head_metas=datamodule.head_metas,
+                           rng=jax.random.key(0))
+
+
+def convert_and_load(torch_ckpt: str, *, basenet: str, out_dir: str):
+    """torch checkpoint -> npz -> loaded model."""
+    from openpifpaf_tpu import migrate, models
+
+    npz = os.path.join(out_dir, 'converted.npz')
+    migrate.convert_torch(torch_ckpt, basenet=basenet, dataset='cocokp',
+                          output=npz)
+    model = models.Factory(checkpoint=npz, bf16=False).factory()
+    return model, npz
+
+
+def max_field_diff(model_a, model_b, *, hw=(65, 65), seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(1, *hw, 3)).astype(np.float32)
+    outs_a = model_a(x)
+    outs_b = model_b(x)
+    return max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+               for a, b in zip(outs_a, outs_b))
+
+
+def compare_to_reference_forward(model, torch_ckpt: str, *, hw=(129, 129)):
+    """When the reference package imports, diff raw head fields.
+
+    Returns a dict of per-head max abs diffs, or None if the reference
+    package is unavailable.
+    """
+    for candidate in (os.path.join(REFERENCE_ROOT, 'src'), REFERENCE_ROOT):
+        if os.path.isdir(os.path.join(candidate, 'openpifpaf')):
+            sys.path.insert(0, candidate)
+            break
+    try:
+        import openpifpaf  # noqa: F401  (the reference package)
+        import torch
+    except ImportError as e:
+        print(f'reference forward comparison skipped: {e}')
+        return None
+
+    data = torch.load(torch_ckpt, map_location='cpu', weights_only=False)
+    ref_model = data['model'] if isinstance(data, dict) and hasattr(
+        data.get('model'), 'eval') else data
+    if not hasattr(ref_model, 'eval'):
+        print('reference forward comparison skipped: checkpoint holds no '
+              'module (state dict only) — pass a full pickled checkpoint')
+        return None
+    ref_model.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, *hw, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_fields = ref_model(torch.from_numpy(
+            x.transpose(0, 3, 1, 2)))   # reference is NCHW
+    our_fields = model(x)
+    diffs = {}
+    for i, (ours, theirs) in enumerate(zip(our_fields, ref_fields)):
+        diffs[f'head{i}'] = float(np.abs(
+            np.asarray(ours) - theirs.numpy()).max())
+    return diffs
+
+
+def run_smoke() -> dict:
+    """Synthetic-checkpoint roundtrip through every container format."""
+    import torch
+    from openpifpaf_tpu.models import converter
+
+    model = build_model()
+    state_dict = converter.to_torch_state_dict(
+        model.variables, basenet_name='shufflenetv2k16')
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in state_dict.items()}
+
+    results = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        containers = {
+            'state_dict': tensors,
+            'dict_with_model': {'model': tensors, 'epoch': 7},
+            'whole_module': _StateDictCarrier(tensors),
+        }
+        for name, payload in containers.items():
+            path = os.path.join(tmp, f'{name}.pt')
+            torch.save(payload, path)
+            loaded, _ = convert_and_load(path, basenet='shufflenetv2k16',
+                                         out_dir=tmp)
+            results[name] = max_field_diff(model, loaded)
+    return results
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--smoke', action='store_true',
+                        help='self-contained synthetic-checkpoint roundtrip')
+    parser.add_argument('--checkpoint', default=None,
+                        help='reference torch checkpoint (default: search '
+                             f'{REFERENCE_ROOT})')
+    parser.add_argument('--basenet', default='shufflenetv2k16')
+    parser.add_argument('--out-dir', default='.')
+    parser.add_argument('--coco-annotations', default=None)
+    parser.add_argument('--coco-image-dir', default=None)
+    args = parser.parse_args(argv)
+
+    if args.smoke:
+        results = run_smoke()
+        ok = all(d == 0.0 for d in results.values())
+        print(json.dumps({'smoke': results, 'ok': ok}))
+        return 0 if ok else 1
+
+    ckpt = args.checkpoint
+    if ckpt is None:
+        found = find_reference_checkpoints()
+        if not found:
+            print(f'no torch checkpoints under {REFERENCE_ROOT} '
+                  '(mount still empty?); pass --checkpoint')
+            return 1
+        ckpt = found[0]
+        print(f'using {ckpt} (of {len(found)} found)')
+
+    model, npz = convert_and_load(ckpt, basenet=args.basenet,
+                                  out_dir=args.out_dir)
+    print(f'converted checkpoint: {npz}')
+
+    diffs = compare_to_reference_forward(model, ckpt)
+    if diffs is not None:
+        print('per-head forward max|diff| vs reference:', json.dumps(diffs))
+
+    eval_cmd = (f'python -m openpifpaf_tpu.eval --dataset=cocokp '
+                f'--checkpoint={npz}')
+    if args.coco_annotations:
+        eval_cmd += f' --cocokp-val-annotations={args.coco_annotations}'
+    if args.coco_image_dir:
+        eval_cmd += f' --cocokp-val-image-dir={args.coco_image_dir}'
+    print('AP parity eval command:')
+    print(' ', eval_cmd)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
