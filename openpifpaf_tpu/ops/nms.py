@@ -6,17 +6,21 @@ occupancy cell (square scaled by its joint scale); joints landing on a cell
 already claimed by a better pose are zeroed; poses falling below
 ``instance_threshold`` are dropped.
 
-TPU-first: the sequential claim loop becomes iterative pairwise masking —
-round 1 suppresses with every higher-ranked joint as a claimant, round 2
-re-ranks with suppressed claimants removed.  Converges to the sequential
-result for the non-pathological overlap patterns seen in practice, with a
-fixed two-round depth.
+TPU-first: the sequential claim loop becomes fixed-priority restart
+rounds — each round recomputes every joint's suppression from the
+*original* joint confidences with only the previous round's survivors as
+claimants.  Pose ``i`` (in priority order) is provably correct after
+round ``i``, so the early-exit ``while_loop`` converges to the exact
+sequential result for every overlap pattern, including pathological
+suppression chains (A kills B, so B's victims survive, recursively) —
+see ``tests/test_nms_oracle.py``.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 
@@ -26,7 +30,9 @@ class NMSConfig:
     scale_factor: float = 0.5         # radius = max(floor, f * joint scale)
     instance_threshold: float = 0.15  # reference NMSKeypoints/CifCaf
     keypoint_threshold: float = 0.15  # joints below are zeroed pre-scoring
-    iterations: int = 2
+    # max restart rounds; 0 = run to convergence (at most P rounds, with
+    # the early-exit while_loop stopping as soon as a round is a no-op)
+    iterations: int = 0
     min_joints: int = 1
     # Whole-pose suppression: if at least this fraction of a pose's joints
     # is claimed by better poses, the pose is a duplicate and dies entirely.
@@ -56,32 +62,50 @@ def keypoint_nms(poses: jnp.ndarray, pose_valid: jnp.ndarray,
     p, k, _ = poses.shape
     x = poses[..., 0]
     y = poses[..., 1]
-    v = jnp.where(poses[..., 2] >= config.keypoint_threshold,
-                  poses[..., 2], 0.0)
-    v = jnp.where(pose_valid[:, None], v, 0.0)
+    v0 = jnp.where(poses[..., 2] >= config.keypoint_threshold,
+                   poses[..., 2], 0.0)
+    v0 = jnp.where(pose_valid[:, None], v0, 0.0)
 
     radius = jnp.maximum(config.suppression_radius,
                          config.scale_factor * joint_scales)  # (P, K)
 
-    # pairwise same-joint distances: (P, P, K)
+    # pairwise same-joint distances: (P, P, K); suppression reach is the
+    # CLAIMANT's radius (reference: occupancy.set uses the claiming
+    # joint's sigma, nms_keypoints.cpp:~40; get is a point query)
     dx = x[:, None, :] - x[None, :, :]
     dy = y[:, None, :] - y[None, :, :]
     d2 = dx * dx + dy * dy
-    rr = jnp.maximum(radius[:, None, :], radius[None, :, :])
+    rr = radius[None, :, :]
     near = d2 < rr * rr
 
-    n_before = jnp.sum(v > 0.0, axis=-1)
+    n_before = jnp.sum(v0 > 0.0, axis=-1)
     idx = jnp.arange(p)
-    for _ in range(config.iterations):
-        scores = pose_scores(v, score_weights)
-        # exact lexicographic priority (score desc, index asc): q beats p
-        sq = scores[None, :]
-        sp = scores[:, None]
-        beats = (sq > sp) | ((sq == sp) & (idx[None, :] < idx[:, None]))
+    # fixed processing priority from the pre-NMS scores (the reference
+    # sorts once up front): q beats p lexicographically
+    scores0 = pose_scores(v0, score_weights)
+    sq = scores0[None, :]
+    sp = scores0[:, None]
+    beats = (sq > sp) | ((sq == sp) & (idx[None, :] < idx[:, None]))
+
+    def round_(v):
         claim = (v > 0.0)                                   # (P, K) claimants
         suppressed = jnp.any(near & beats[:, :, None] & claim[None, :, :],
                              axis=1)                        # (P, K)
-        v = jnp.where(suppressed, 0.0, v)
+        return jnp.where(suppressed, 0.0, v0)               # restart from v0
+
+    max_rounds = config.iterations if config.iterations else p
+
+    def cond(state):
+        i, _, converged = state
+        return (i < max_rounds) & ~converged
+
+    def body(state):
+        i, v, _ = state
+        v_new = round_(v)
+        return i + 1, v_new, jnp.all(v_new == v)
+
+    _, v, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), v0, jnp.zeros((), bool)))
 
     scores = pose_scores(v, score_weights)
     n_joints = jnp.sum(v > 0.0, axis=-1)
