@@ -10,14 +10,20 @@ Measurement methodology (defends against proxy/tunnel pipelining and
 memoization — see CLAUDE.md "TPU timing over the tunnel is unreliable"):
 
 - N *distinct* random input batches are staged on device before timing.
-- Every call is data-dependent on the previous call's decode result (a
-  scalar carry perturbs the next input), so calls can neither be reordered,
-  overlapped, nor served from a value cache.
-- The carry scalar is read back to the host (``float()``) every iteration,
-  which forces real completion before the next timestamp.
-- Forward and decode are additionally timed as separate jitted programs so
-  the per-stage split is visible (reference records ``t_total``/``t_dec``
-  per image, ``src/openpifpaf/eval.py:~200``).
+- Every iteration is data-dependent on the previous iteration's decode
+  result (a scalar carry perturbs the next input), so iterations can
+  neither be reordered, overlapped, nor served from a value cache.
+- The headline number comes from a device-resident ``lax.scan`` chain of
+  8 such iterations per host call: the host/tunnel round-trip (tens of ms
+  over the axon tunnel — host latency, not device throughput) is paid
+  once per 8 iterations.  A per-call variant (round-trip every iteration,
+  ``ms_per_image_total_percall``) is reported as the upper bound.
+- The carry scalar is read back to the host (``float()``) after every
+  timed call, forcing real completion before the next timestamp.
+- Forward and decode are additionally timed as separate jitted programs
+  (per-call, upper bounds) so the per-stage split is visible (reference
+  records ``t_total``/``t_dec`` per image, ``src/openpifpaf/eval.py:~200``);
+  per-decode-stage detail is tools/stage_timing.py -> PERF.md.
 - The implied FLOP/s (XLA cost analysis x measured rate) is checked against
   the chip's peak; a physically impossible number is refused instead of
   printed.
@@ -74,7 +80,8 @@ def chained_time(step, inputs, n_iters: int):
 
     ``step(x, carry) -> (out, carry_scalar)``; the carry is fetched to the
     host every iteration (forces completion, defeats pipelining) and varies
-    the next call's input (defeats memoization).
+    the next call's input (defeats memoization).  Includes one host/tunnel
+    round-trip per call — an upper bound on the device time.
     """
     import jax
 
@@ -90,6 +97,31 @@ def chained_time(step, inputs, n_iters: int):
         out, carry = step(x, carry)
         carry_host = float(carry)          # host readback: hard sync point
         times.append(time.perf_counter() - start)
+        assert np.isfinite(carry_host), 'non-finite carry — broken pipeline'
+    return statistics.median(times), times
+
+
+def scan_chained_time(scan_fn, stacked_inputs, n_inner: int, n_calls: int):
+    """Device-resident chain: ``scan_fn(stacked, carry)`` runs ``n_inner``
+    data-dependent iterations inside one compiled ``lax.scan``, so the
+    host/tunnel round-trip is paid once per ``n_inner`` iterations instead
+    of once per iteration.  Each scan call still depends on the previous
+    call's carry (no memoization across calls) and every inner iteration
+    depends on the previous one (no pipelining inside).  Returns the
+    median per-iteration time.
+    """
+    import jax
+
+    carry = jax.numpy.zeros((), jax.numpy.float32)
+    carry = scan_fn(stacked_inputs, carry)
+    jax.block_until_ready(carry)
+
+    times = []
+    for _ in range(n_calls):
+        start = time.perf_counter()
+        carry = scan_fn(stacked_inputs, carry)
+        carry_host = float(carry)
+        times.append((time.perf_counter() - start) / n_inner)
         assert np.isfinite(carry_host), 'non-finite carry — broken pipeline'
     return statistics.median(times), times
 
@@ -161,9 +193,27 @@ def main():
     log('compiling forward step...')
     forward_c = forward_step.lower(variables, staged[0], zero).compile()
 
-    # --- end-to-end (headline) ---
-    log('timing e2e...')
-    e2e_median, _ = chained_time(
+    # --- end-to-end headline: device-resident scan chain (the per-call
+    # tunnel round-trip otherwise dominates: it is host latency, not
+    # device throughput) ---
+    n_inner = 8
+
+    @jax.jit
+    def predict_scan(stacked, carry):
+        def body(c, x):
+            _, c = predict_step(variables, x, c)
+            return c, ()
+        carry, _ = jax.lax.scan(body, carry, stacked)
+        return carry
+
+    stacked = jnp.stack(staged * ((n_inner + n_staged - 1) // n_staged))
+    stacked = stacked[:n_inner]
+    log('compiling + timing e2e scan chain...')
+    e2e_median, _ = scan_chained_time(predict_scan, stacked, n_inner, 5)
+
+    # --- per-call variant (upper bound incl. tunnel round-trip) ---
+    log('timing e2e per-call...')
+    e2e_call_median, _ = chained_time(
         lambda x, c: predict_c(variables, x, c), staged, n_iters)
 
     # --- per-stage split ---
@@ -212,6 +262,8 @@ def main():
         'unit': 'images/s',
         'vs_baseline': round(fps / BASELINE_E2E_FPS, 2),
         'ms_per_image_total': round(e2e_median / batch * 1e3, 3),
+        'ms_per_image_total_percall': round(
+            e2e_call_median / batch * 1e3, 3),
         'ms_per_image_forward': round(fwd_median / batch * 1e3, 3),
         'ms_per_image_decode': round(dec_median / batch * 1e3, 3),
         'batch': batch,

@@ -82,10 +82,9 @@ class CifDet(Decoder):
             out_hw=hr_hw,
             config=cif_hr.CifHrConfig(spacing=sp, sigma_factor=0.1,
                                       min_sigma_px=2.0))
-        from ..ops.common import gather_field
-        ff = jnp.broadcast_to(jnp.arange(f, dtype=jnp.int32)[:, None, None],
-                              comp.conf.shape)
-        v = 0.9 * gather_field(hr, ff, cx, cy, sp) + 0.1 * comp.conf
+        from ..ops.common import gather_field_grouped
+        v = 0.9 * gather_field_grouped(hr, jnp.arange(f, dtype=jnp.int32),
+                                       cx, cy, sp) + 0.1 * comp.conf
 
         # local max + top-k
         vmax = jax.lax.reduce_window(v, -jnp.inf, jax.lax.max,

@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from .common import gather_field, masked_top_k
+from .common import gather_field_grouped, masked_top_k
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,12 +71,10 @@ def score(components, cifhr: jnp.ndarray, skeleton: np.ndarray, *,
     s1 = components.scale[:, 0] * stride
     s2 = components.scale[:, 1] * stride
 
-    kp1 = jnp.asarray(skeleton[:, 0], jnp.int32)[:, None, None]
-    kp2 = jnp.asarray(skeleton[:, 1], jnp.int32)[:, None, None]
-    hr1 = gather_field(cifhr, jnp.broadcast_to(kp1, conf.shape), x1, y1,
-                       hr_spacing)
-    hr2 = gather_field(cifhr, jnp.broadcast_to(kp2, conf.shape), x2, y2,
-                       hr_spacing)
+    kp1 = jnp.asarray(skeleton[:, 0], jnp.int32)
+    kp2 = jnp.asarray(skeleton[:, 1], jnp.int32)
+    hr1 = gather_field_grouped(cifhr, kp1, x1, y1, hr_spacing)
+    hr2 = gather_field_grouped(cifhr, kp2, x2, y2, hr_spacing)
 
     floor = config.cif_floor
     score_fwd = conf * (floor + (1.0 - floor) * hr2)   # walk 1 -> 2

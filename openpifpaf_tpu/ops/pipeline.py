@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import caf_scored, cif_hr, growth, nms, seeds
-from .common import gather_field
+from .common import gather_field_grouped
 from .. import debug_checks
 from ..models.heads import split_fields
 
@@ -136,10 +136,10 @@ def finalize_poses(poses: jnp.ndarray, placed: jnp.ndarray,
     Returns (poses_out (P,K,4), joint_scales (P,K), scores (P,), valid (P,)).
     """
     fk = poses.shape[1]
-    k_idx = jnp.broadcast_to(jnp.arange(fk, dtype=jnp.int32)[None, :],
-                             poses.shape[:2])
-    js_cif = gather_field(scale_px, k_idx, poses[..., 0], poses[..., 1],
-                          spacing=config.stride)
+    # group by keypoint field: transpose (P, K) -> (K, P)
+    js_cif = gather_field_grouped(
+        scale_px, jnp.arange(fk, dtype=jnp.int32),
+        poses[..., 0].T, poses[..., 1].T, spacing=config.stride).T
     joint_scales = jnp.where(js_cif > 0.0, js_cif, poses[..., 3])
     joint_scales = jnp.where(placed, joint_scales, 0.0)
 

@@ -17,7 +17,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .common import gather_field, masked_top_k
+from .common import gather_field_grouped, masked_top_k
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,9 +51,8 @@ def select(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
            hr_spacing: float, config: SeedsConfig) -> Seeds:
     """conf/x_px/y_px/scale_px: (F, H, W); cifhr: (F, Hh, Wh)."""
     f, h, w = conf.shape
-    ff = jnp.broadcast_to(jnp.arange(f, dtype=jnp.int32)[:, None, None],
-                          (f, h, w))
-    hr_v = gather_field(cifhr, ff, x_px, y_px, hr_spacing)
+    hr_v = gather_field_grouped(cifhr, jnp.arange(f, dtype=jnp.int32),
+                                x_px, y_px, hr_spacing)
     v = (config.cifhr_blend * hr_v
          + (1.0 - config.cifhr_blend) * conf) * config.score_scale
 

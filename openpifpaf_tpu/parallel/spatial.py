@@ -37,7 +37,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import cif_hr, seeds as seeds_mod
-from ..ops.common import gather_field, masked_top_k
+from ..ops.common import gather_field_grouped, masked_top_k
 
 
 class ShardedCifHr(NamedTuple):
@@ -199,9 +199,8 @@ def _seeds_band(conf, x_px, y_px, scale_px, hr, *, axis, n_bands, hhb,
     y_hi = jnp.where(band == n_bands - 1, (halo_rows + hhb - 1) * hr_spacing,
                      (ext_rows - 1) * hr_spacing)
     y_rel = jnp.clip(y_rel, y_lo, y_hi)
-    ff = jnp.broadcast_to(jnp.arange(f, dtype=jnp.int32)[:, None, None],
-                          (f, hb, w))
-    hr_v = gather_field(hr_ext, ff, x_px, y_rel, hr_spacing)
+    hr_v = gather_field_grouped(hr_ext, jnp.arange(f, dtype=jnp.int32),
+                                x_px, y_rel, hr_spacing)
     v = (config.cifhr_blend * hr_v
          + (1.0 - config.cifhr_blend) * conf) * config.score_scale
     mask = (v > config.threshold) & (conf > config.min_conf)

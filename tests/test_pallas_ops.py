@@ -61,3 +61,39 @@ def test_all_masked_cells_zero():
         jnp.ones((f, n)), out_hw=(hh, wh), spacing=2.0, interpret=True))
     assert out.shape == (f, hh, wh)
     np.testing.assert_array_equal(out, 0.0)
+
+
+class TestGatherFieldGroupedMXU:
+    """The MXU einsum bilinear (TPU path of gather_field_grouped) must be
+    exactly equivalent to the 4-corner gather (CPU path / oracle)."""
+
+    def test_matches_gather(self):
+        import jax.numpy as jnp
+        from openpifpaf_tpu.ops import common
+
+        rng = np.random.default_rng(0)
+        grids = jnp.asarray(rng.normal(size=(17, 161, 161)).astype(np.float32))
+        group = jnp.asarray(rng.integers(0, 17, size=(19,)).astype(np.int32))
+        # include out-of-range coords (clamped reads on both paths)
+        x = jnp.asarray(rng.uniform(-10, 340, size=(19, 21, 21)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(-10, 340, size=(19, 21, 21)).astype(np.float32))
+
+        got = common._gather_field_grouped_mxu(grids, group, x, y, 2.0)
+        fb = jnp.broadcast_to(group[:, None, None], x.shape)
+        want = common.gather_field(grids, fb, x, y, 2.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_exact_grid_points(self):
+        import jax.numpy as jnp
+        from openpifpaf_tpu.ops import common
+
+        grids = jnp.arange(2 * 5 * 7, dtype=jnp.float32).reshape(2, 5, 7)
+        group = jnp.asarray([1, 0], jnp.int32)
+        x = jnp.asarray([[0.0, 6.0], [3.0, 2.5]])   # spacing 1
+        y = jnp.asarray([[0.0, 4.0], [2.0, 1.5]])
+        got = common._gather_field_grouped_mxu(grids, group, x, y, 1.0)
+        fb = jnp.broadcast_to(group[:, None], x.shape)
+        want = common.gather_field(grids, fb, x, y, 1.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
