@@ -122,6 +122,61 @@ def init_poses(seeds: Seeds, *, n_keypoints: int,
             jnp.where(sel_valid, seeds.v[order], 0.0), n_dropped)
 
 
+def _dirviews(cand: CafCandidates, edges: DirectedEdges):
+    """Directed candidate tensors, each (Q, C)."""
+    def dirview(a):
+        return a[edges.edge, edges.direction]
+    return (dirview(cand.score), dirview(cand.x_src), dirview(cand.y_src),
+            dirview(cand.x_tgt), dirview(cand.y_tgt), dirview(cand.s_tgt),
+            dirview(cand.valid))
+
+
+def _weighted_best(qx, qy, sigma, cxs, cys, cxt, cyt, cst, cvalid, cscore,
+                   config: GrowthConfig, blend: bool):
+    """Gaussian-filtered best (and optional top-2 blend) association.
+
+    qx, qy, sigma: (...,) query source position/scale; c*: (..., C)
+    candidate geometry/scores aligned with the query's leading dims.
+    Returns value, tx, ty, ts (all (...,)).
+    """
+    dx = cxs - qx[..., None]                   # (..., C)
+    dy = cys - qy[..., None]
+    d2 = dx * dx + dy * dy
+    sig2 = (sigma * sigma)[..., None]
+    w = jnp.exp(-0.5 * d2 / (config.gauss_denom * sig2))
+    in_range = d2 <= (config.filter_factor ** 2) * sig2
+    cs = jnp.where(in_range & cvalid, w * cscore, 0.0)
+
+    i1 = jnp.argmax(cs, axis=-1)               # (...,)
+    take = jnp.take_along_axis
+    v1 = take(cs, i1[..., None], -1)[..., 0]
+    t1x = take(jnp.broadcast_to(cxt, cs.shape), i1[..., None], -1)[..., 0]
+    t1y = take(jnp.broadcast_to(cyt, cs.shape), i1[..., None], -1)[..., 0]
+    t1s = take(jnp.broadcast_to(cst, cs.shape), i1[..., None], -1)[..., 0]
+    if not blend:
+        return v1, t1x, t1y, t1s
+
+    c_range = jnp.arange(cs.shape[-1])
+    cs2 = jnp.where(c_range == i1[..., None], 0.0, cs)
+    i2 = jnp.argmax(cs2, axis=-1)
+    v2 = take(cs2, i2[..., None], -1)[..., 0]
+    t2x = take(jnp.broadcast_to(cxt, cs.shape), i2[..., None], -1)[..., 0]
+    t2y = take(jnp.broadcast_to(cyt, cs.shape), i2[..., None], -1)[..., 0]
+    t2s = take(jnp.broadcast_to(cst, cs.shape), i2[..., None], -1)[..., 0]
+
+    dt2 = (t2x - t1x) ** 2 + (t2y - t1y) ** 2
+    blendable = (v2 > config.blend_min) & (dt2 <= t1s * t1s)
+    wsum = jnp.maximum(v1 + v2, 1e-8)
+    bx = (v1 * t1x + v2 * t2x) / wsum
+    by = (v1 * t1y + v2 * t2y) / wsum
+    bs = (v1 * t1s + v2 * t2s) / wsum
+    tx = jnp.where(blendable, bx, t1x)
+    ty = jnp.where(blendable, by, t1y)
+    ts = jnp.where(blendable, bs, t1s)
+    value = jnp.where(blendable, 0.5 * (v1 + v2), v1)
+    return value, tx, ty, ts
+
+
 def _connection_values(poses, placed, pose_valid, cand: CafCandidates,
                        edges: DirectedEdges, config: GrowthConfig,
                        keypoint_threshold: float, reverse_match: bool):
@@ -132,16 +187,7 @@ def _connection_values(poses, placed, pose_valid, cand: CafCandidates,
     (``cifcaf.cpp:~220..~330``).
     """
     e2 = edges.src_kp.shape[0]
-    # directed candidate tensors (Q, C)
-    def dirview(a):
-        return a[edges.edge, edges.direction]
-    c_score = dirview(cand.score)
-    c_xs = dirview(cand.x_src)
-    c_ys = dirview(cand.y_src)
-    c_xt = dirview(cand.x_tgt)
-    c_yt = dirview(cand.y_tgt)
-    c_st = dirview(cand.s_tgt)
-    c_valid = dirview(cand.valid)
+    c_score, c_xs, c_ys, c_xt, c_yt, c_st, c_valid = _dirviews(cand, edges)
 
     src = jnp.asarray(edges.src_kp)
     tgt = jnp.asarray(edges.tgt_kp)
@@ -151,53 +197,9 @@ def _connection_values(poses, placed, pose_valid, cand: CafCandidates,
     ss = jnp.maximum(poses[:, src, 3], config.min_xy_scale)
     active = placed[:, src] & ~placed[:, tgt] & pose_valid[:, None]
 
-    def weighted_best(qx, qy, sigma, cxs, cys, cxt, cyt, cst, cvalid, cscore,
-                      blend: bool):
-        """Gaussian-filtered best (and optional top-2 blend) association.
-
-        qx, qy: (P, Q) query source position; sigma: (P, Q);
-        c*: (Q, C) directed candidate geometry/scores.
-        Returns value, tx, ty, ts (all (P, Q)).
-        """
-        dx = cxs[None, :, :] - qx[:, :, None]      # (P, Q, C)
-        dy = cys[None, :, :] - qy[:, :, None]
-        d2 = dx * dx + dy * dy
-        sig2 = (sigma * sigma)[:, :, None]
-        w = jnp.exp(-0.5 * d2 / (config.gauss_denom * sig2))
-        in_range = d2 <= (config.filter_factor ** 2) * sig2
-        cs = jnp.where(in_range & cvalid[None], w * cscore[None], 0.0)
-
-        i1 = jnp.argmax(cs, axis=-1)                # (P, Q)
-        take = jnp.take_along_axis
-        v1 = take(cs, i1[..., None], -1)[..., 0]
-        t1x = take(jnp.broadcast_to(cxt[None], cs.shape), i1[..., None], -1)[..., 0]
-        t1y = take(jnp.broadcast_to(cyt[None], cs.shape), i1[..., None], -1)[..., 0]
-        t1s = take(jnp.broadcast_to(cst[None], cs.shape), i1[..., None], -1)[..., 0]
-        if not blend:
-            return v1, t1x, t1y, t1s
-
-        cs2 = jnp.where(
-            jnp.arange(cs.shape[-1])[None, None, :] == i1[..., None], 0.0, cs)
-        i2 = jnp.argmax(cs2, axis=-1)
-        v2 = take(cs2, i2[..., None], -1)[..., 0]
-        t2x = take(jnp.broadcast_to(cxt[None], cs.shape), i2[..., None], -1)[..., 0]
-        t2y = take(jnp.broadcast_to(cyt[None], cs.shape), i2[..., None], -1)[..., 0]
-        t2s = take(jnp.broadcast_to(cst[None], cs.shape), i2[..., None], -1)[..., 0]
-
-        dt2 = (t2x - t1x) ** 2 + (t2y - t1y) ** 2
-        blendable = (v2 > config.blend_min) & (dt2 <= t1s * t1s)
-        wsum = jnp.maximum(v1 + v2, 1e-8)
-        bx = (v1 * t1x + v2 * t2x) / wsum
-        by = (v1 * t1y + v2 * t2y) / wsum
-        bs = (v1 * t1s + v2 * t2s) / wsum
-        tx = jnp.where(blendable, bx, t1x)
-        ty = jnp.where(blendable, by, t1y)
-        ts = jnp.where(blendable, bs, t1s)
-        value = jnp.where(blendable, 0.5 * (v1 + v2), v1)
-        return value, tx, ty, ts
-
-    value, tx, ty, ts = weighted_best(
-        xs, ys, ss, c_xs, c_ys, c_xt, c_yt, c_st, c_valid, c_score,
+    value, tx, ty, ts = _weighted_best(
+        xs, ys, ss, c_xs[None], c_ys[None], c_xt[None], c_yt[None],
+        c_st[None], c_valid[None], c_score[None], config,
         config.connection_blend)
 
     if reverse_match:
@@ -205,9 +207,70 @@ def _connection_values(poses, placed, pose_valid, cand: CafCandidates,
         # (q ^ 1) and require landing near the source joint
         rev = jnp.arange(e2) ^ 1
         sig_t = jnp.maximum(ts, config.min_xy_scale)
-        rv, rx, ry, _ = weighted_best(
+        rv, rx, ry, _ = _weighted_best(
+            tx, ty, sig_t, c_xs[rev][None], c_ys[rev][None], c_xt[rev][None],
+            c_yt[rev][None], c_st[rev][None], c_valid[rev][None],
+            c_score[rev][None], config, blend=False)
+        back2 = (rx - xs) ** 2 + (ry - ys) ** 2
+        ok = (rv > 0.0) & (back2 <= (config.filter_factor ** 2) * ss * ss)
+        value = jnp.where(ok, value, 0.0)
+
+    value = jnp.where(active, value, 0.0)
+    new_v = jnp.sqrt(value * vs)
+    return value, tx, ty, ts, new_v
+
+
+def out_edges_table(edges: DirectedEdges, n_keypoints: int) -> np.ndarray:
+    """(K, D) directed-edge ids with ``src_kp == k``, padded with Q.
+
+    D = max out-degree.  Static (numpy): the incremental growth rounds
+    look up which connections become computable when a joint is placed.
+    """
+    q_n = edges.src_kp.shape[0]
+    by_src = [[] for _ in range(n_keypoints)]
+    for q, s in enumerate(edges.src_kp):
+        by_src[int(s)].append(q)
+    d = max(1, max(len(lst) for lst in by_src))
+    table = np.full((n_keypoints, d), q_n, np.int32)
+    for k, lst in enumerate(by_src):
+        table[k, :len(lst)] = lst
+    return table
+
+
+def _connection_values_at(poses, placed, pose_valid, cand: CafCandidates,
+                          edges: DirectedEdges, config: GrowthConfig,
+                          reverse_match: bool, q_sel, q_valid):
+    """:func:`_connection_values` restricted to directed edges ``q_sel``
+    (P, D) per pose (padded entries masked by ``q_valid``) — the
+    incremental-round path: only ~max-out-degree edges per pose need
+    computing when one joint was just placed, a ~Q/D reduction of the
+    (P, Q, C) work the full pass does.  Same math, bit-equal results.
+    """
+    q_n = edges.src_kp.shape[0]
+    c_score, c_xs, c_ys, c_xt, c_yt, c_st, c_valid = _dirviews(cand, edges)
+    q_safe = jnp.minimum(q_sel, q_n - 1)       # clamp the pad sentinel
+
+    src = jnp.asarray(edges.src_kp)[q_safe]    # (P, D)
+    tgt = jnp.asarray(edges.tgt_kp)[q_safe]
+    take = jnp.take_along_axis
+    xs = take(poses[..., 0], src, 1)
+    ys = take(poses[..., 1], src, 1)
+    vs = take(poses[..., 2], src, 1)
+    ss = jnp.maximum(take(poses[..., 3], src, 1), config.min_xy_scale)
+    active = (take(placed, src, 1) & ~take(placed, tgt, 1)
+              & pose_valid[:, None] & q_valid)
+
+    value, tx, ty, ts = _weighted_best(
+        xs, ys, ss, c_xs[q_safe], c_ys[q_safe], c_xt[q_safe], c_yt[q_safe],
+        c_st[q_safe], c_valid[q_safe], c_score[q_safe], config,
+        config.connection_blend)
+
+    if reverse_match:
+        rev = jnp.minimum(q_safe ^ 1, q_n - 1)
+        sig_t = jnp.maximum(ts, config.min_xy_scale)
+        rv, rx, ry, _ = _weighted_best(
             tx, ty, sig_t, c_xs[rev], c_ys[rev], c_xt[rev], c_yt[rev],
-            c_st[rev], c_valid[rev], c_score[rev], blend=False)
+            c_st[rev], c_valid[rev], c_score[rev], config, blend=False)
         back2 = (rx - xs) ** 2 + (ry - ys) ** 2
         ok = (rv > 0.0) & (back2 <= (config.filter_factor ** 2) * ss * ss)
         value = jnp.where(ok, value, 0.0)
@@ -233,28 +296,52 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
     that pass only); the first pass always consumes ``cand`` built at the
     normal ``caf_score_th``.
     """
-    k = poses.shape[1]
+    p, k = poses.shape[0], poses.shape[1]
     kp_th = config.keypoint_threshold if keypoint_threshold is None \
         else keypoint_threshold
     rev = config.reverse_match if reverse_match is None else reverse_match
     rounds = (k - 1) if n_rounds is None else n_rounds
     tgt = jnp.asarray(edges.tgt_kp)
     src = jnp.asarray(edges.src_kp)
+    q_n = edges.src_kp.shape[0]
     k_range = jnp.arange(k)
+    out_edges = jnp.asarray(out_edges_table(edges, k))   # (K, D), pad = Q
+    rows_p = jnp.arange(p)[:, None]
 
     def make_body(threshold: float, rel: float, reverse: bool,
                   pass_cand: CafCandidates):
         """One relaxation-round body; the force-complete pass is the same
         body with a relaxed threshold, its own relaxed candidate set, no
-        relative gate and no reverse match (reference cifcaf.cpp:~380)."""
+        relative gate and no reverse match (reference cifcaf.cpp:~380).
+
+        A (pose, edge) connection depends only on the source joint, which
+        never moves once placed — so connections are computed exactly
+        once, in the round after their source joint lands, and cached in
+        (P, Q+1) tables (column Q is the pad spill).  Each round's fresh
+        work is (P, D, C) with D = max out-degree, not (P, Q, C).
+        """
 
         def body(state):
-            poses, placed, rounds_done, _ = state
-            value, tx, ty, ts, new_v = _connection_values(
+            poses, placed, rounds_done, _, tables, last_onehot = state
+
+            # connections that became computable: src == last placed joint
+            j_new = jnp.argmax(last_onehot, axis=1)              # (P,)
+            any_new = jnp.any(last_onehot, axis=1)
+            q_sel = out_edges[j_new]                             # (P, D)
+            q_ok = (q_sel < q_n) & any_new[:, None]
+            fresh = _connection_values_at(
                 poses, placed, pose_valid, pass_cand, edges, config,
-                threshold, reverse)
+                reverse, q_sel, q_ok)
+            q_scatter = jnp.where(q_ok, q_sel, q_n)              # pad spill
+            tables = tuple(
+                t.at[rows_p, q_scatter].set(f)
+                for t, f in zip(tables, fresh))
+            value, tx, ty, ts, new_v = (t[:, :q_n] for t in tables)
+
             vs = poses[:, src, 2]
-            ok = (new_v > threshold) & (new_v > rel * vs)
+            active = (placed[:, src] & ~placed[:, tgt]
+                      & pose_valid[:, None])
+            ok = (new_v > threshold) & (new_v > rel * vs) & active
             conn = jnp.where(ok, value, 0.0)          # (P, Q)
 
             # best incoming directed edge per joint: (P, K)
@@ -285,26 +372,39 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
             poses = jnp.where(onehot[..., None],
                               new_pose_data[:, None, :], poses)
             placed = placed | onehot
-            return poses, placed, rounds_done + 1, jnp.any(do_place)
+            return (poses, placed, rounds_done + 1, jnp.any(do_place),
+                    tables, onehot)
 
         return body
 
     # early exit: a round that places nothing is a fixed point, so the
     # K-1 worst-case depth only runs when poses actually keep growing
     def cond(state):
-        _, _, rounds_done, advanced = state
-        return (rounds_done < rounds) & advanced
+        return (state[2] < rounds) & state[3]
 
-    def run(body):
+    def run(poses, placed, body, threshold: float, reverse: bool,
+            pass_cand: CafCandidates):
+        # seed the cache with one full pass over every currently-placed
+        # source (pass start: the seed joint, or — force-complete — the
+        # whole first-pass pose); rounds then update incrementally
+        full = _connection_values(poses, placed, pose_valid, pass_cand,
+                                  edges, config, threshold, reverse)
+        tables = tuple(
+            jnp.concatenate([t, jnp.zeros((p, 1), t.dtype)], axis=1)
+            for t in full)
+        no_new = jnp.zeros((p, k), bool)
         out = jax.lax.while_loop(
             cond, body, (poses, placed, jnp.zeros((), jnp.int32),
-                         jnp.ones((), bool)))
+                         jnp.ones((), bool), tables, no_new))
         return out[0], out[1]
 
-    poses, placed = run(make_body(kp_th, config.keypoint_threshold_rel, rev,
-                                  cand))
+    poses, placed = run(poses, placed,
+                        make_body(kp_th, config.keypoint_threshold_rel,
+                                  rev, cand), kp_th, rev, cand)
     if config.force_complete:
         fc_cand = force_cand if force_cand is not None else cand
-        poses, placed = run(make_body(config.force_complete_threshold,
-                                      0.0, False, fc_cand))
+        poses, placed = run(poses, placed,
+                            make_body(config.force_complete_threshold,
+                                      0.0, False, fc_cand),
+                            config.force_complete_threshold, False, fc_cand)
     return poses, placed
