@@ -1,10 +1,18 @@
-"""Export CLI: ONNX (gated on an ONNX converter being installed).
+"""Export CLI: ONNX.
 
-Reference parity: ``src/openpifpaf/export_onnx.py:~30`` — opset selection,
-input/output naming, optional simplifier.  JAX has no in-tree ONNX
-exporter; this CLI uses ``jax2onnx`` when installed and otherwise points at
-the portable first-class artifact, ``export_stablehlo`` (StableHLO runs on
-any XLA target and is this framework's native export format).
+Reference parity: ``src/openpifpaf/export_onnx.py:~30`` — input/output
+naming, static input shape, opset pinning.  JAX has no in-tree ONNX
+exporter and neither ``onnx`` nor ``jax2onnx`` is installed here, so the
+default path is this framework's own serializer
+(:mod:`openpifpaf_tpu.onnx_native`): a protobuf wire-format writer plus a
+graph builder for the checkpointed model families (ShuffleNetV2/V2K +
+CompositeField4 heads).  Exports are verified in-tree by parsing the file
+back and re-executing it with a numpy/lax interpreter against the flax
+forward (``tests/test_onnx_export.py``).
+
+``--via-jax2onnx`` uses the optional ``jax2onnx`` package instead (any
+basenet, needs the package installed).  ``export_stablehlo`` remains the
+portable native artifact for XLA targets.
 """
 
 from __future__ import annotations
@@ -18,15 +26,25 @@ from . import logger, models
 LOG = logging.getLogger(__name__)
 
 
-def apply(model, outfile: str, *, input_hw=(641, 641), opset: int = 17):
+def apply(model, outfile: str, *, input_hw=(641, 641)):
+    from . import onnx_native
+
+    data = onnx_native.build_model_graph(model, input_hw=input_hw)
+    with open(outfile, 'wb') as f:
+        f.write(data)
+    LOG.info('wrote %s (%d bytes, opset %d)', outfile, len(data),
+             onnx_native.OPSET_VERSION)
+
+
+def apply_jax2onnx(model, outfile: str, *, input_hw=(641, 641),
+                   opset: int = 17):
     try:
         import jax2onnx  # pylint: disable=import-outside-toplevel
     except ImportError as e:
         raise RuntimeError(
-            'ONNX export needs the optional jax2onnx package, which is not '
-            'installed in this environment. Use '
-            'python -m openpifpaf_tpu.export_stablehlo for the portable '
-            'native artifact.') from e
+            '--via-jax2onnx needs the optional jax2onnx package, which is '
+            'not installed in this environment; the default native '
+            'exporter supports the ShuffleNetV2/V2K families.') from e
 
     import jax  # pylint: disable=import-outside-toplevel
     import jax.numpy as jnp  # pylint: disable=import-outside-toplevel
@@ -54,14 +72,23 @@ def main(argv=None) -> int:
     parser.add_argument('--outfile', default='openpifpaf_tpu.onnx')
     parser.add_argument('--input-height', default=641, type=int)
     parser.add_argument('--input-width', default=641, type=int)
-    parser.add_argument('--opset', default=17, type=int)
+    parser.add_argument('--opset', default=17, type=int,
+                        help='[--via-jax2onnx only] opset version')
+    parser.add_argument('--via-jax2onnx', default=False, action='store_true',
+                        help='use the optional jax2onnx package instead of '
+                             'the native serializer')
     args = parser.parse_args(argv)
     logger.configure(args)
     models.Factory.configure(args)
 
     model = models.Factory().factory()
-    apply(model, args.outfile,
-          input_hw=(args.input_height, args.input_width), opset=args.opset)
+    if args.via_jax2onnx:
+        apply_jax2onnx(model, args.outfile,
+                       input_hw=(args.input_height, args.input_width),
+                       opset=args.opset)
+    else:
+        apply(model, args.outfile,
+              input_hw=(args.input_height, args.input_width))
     return 0
 
 
