@@ -89,9 +89,11 @@ class PoseTrack2018Dataset(Dataset):
 class _PairCompose:
     """Apply per-frame transforms to both frames, then pair-level steps.
 
-    Deterministic per-frame steps only (rescale/pad/tensor) — random
-    augmentation over real pairs needs synchronized parameters and is a
-    follow-up (the reference synchronizes rng state in transforms/pair.py).
+    Per-frame steps here must be deterministic (rescale/pad/tensor);
+    random augmentation over real pairs goes through
+    ``transforms.SyncPair`` as a pair-level step, which snapshots and
+    restores rng state so both frames draw identical parameters
+    (reference: ``transforms/pair.py``).
     """
 
     def __init__(self, frame_steps, pair_steps):
@@ -119,6 +121,7 @@ class PoseTrack2018(DataModule):
     train_annotations = 'data-posetrack2018/annotations/train/*.json'
     val_annotations = 'data-posetrack2018/annotations/val/*.json'
     square_edge = 385
+    augmentation = True
 
     def __init__(self):
         self.head_metas = tracking_head_metas(
@@ -138,6 +141,9 @@ class PoseTrack2018(DataModule):
                            default=cls.val_annotations)
         group.add_argument('--posetrack2018-square-edge',
                            default=cls.square_edge, type=int)
+        group.add_argument('--posetrack2018-no-augmentation',
+                           dest='posetrack2018_augmentation',
+                           default=cls.augmentation, action='store_false')
 
     @classmethod
     def configure(cls, args: argparse.Namespace) -> None:
@@ -145,6 +151,7 @@ class PoseTrack2018(DataModule):
         cls.train_annotations = args.posetrack2018_train_annotations
         cls.val_annotations = args.posetrack2018_val_annotations
         cls.square_edge = args.posetrack2018_square_edge
+        cls.augmentation = args.posetrack2018_augmentation
 
     def _annotation_files(self, pattern: str):
         files = sorted(glob.glob(pattern))
@@ -160,16 +167,30 @@ class PoseTrack2018(DataModule):
             sigmas=constants.SIGMAS)
 
     def _preprocess(self):
-        frame_steps = [
-            self._normalize(),
-            transforms.RescaleAbsolute(self.square_edge),
-            transforms.CenterPad(self.square_edge),
-            transforms.TRAIN_TRANSFORM,
-        ]
+        if self.augmentation:
+            frame = transforms.Compose([
+                self._normalize(),
+                transforms.RandomApply(
+                    transforms.HFlip(constants.KEYPOINTS, constants.HFLIP),
+                    0.5),
+                transforms.RescaleRelative((0.5, 1.5), power_law=True),
+                transforms.Crop(self.square_edge, use_area_of_interest=True),
+                transforms.CenterPad(self.square_edge),
+                transforms.TRAIN_TRANSFORM,
+            ])
+        else:
+            frame = transforms.Compose([
+                self._normalize(),
+                transforms.RescaleAbsolute(self.square_edge),
+                transforms.CenterPad(self.square_edge),
+                transforms.TRAIN_TRANSFORM,
+            ])
         pair_steps = [
+            # synchronized randomness across the two frames
+            transforms.SyncPair(frame),
             encoder.TrackingEncoders(encoder.factory(self.head_metas)),
         ]
-        return _PairCompose(frame_steps, pair_steps)
+        return _PairCompose([], pair_steps)
 
     def _eval_preprocess(self):
         frame_steps = [

@@ -15,7 +15,7 @@ from .image import (Blur, ColorTint, ImageToNumpy, JpegCompression,
 from .minsize import MinSize
 from .multi_scale import MultiScale
 from .pad import CenterPad, CenterPadTight
-from .pair import ImageToTracking, SingleImage
+from .pair import ImageToTracking, SingleImage, SyncPair
 from .preprocess import AnnotationCopy, Preprocess
 from .random import DeterministicEqualChoice, RandomApply, RandomChoice
 from .rotate import RotateBy90, RotateUniform
@@ -34,7 +34,7 @@ __all__ = [
     'Blur', 'ColorTint', 'ImageToNumpy', 'JpegCompression',
     'IMAGENET_MEAN', 'IMAGENET_STD', 'MinSize', 'MultiScale', 'CenterPad',
     'CenterPadTight', 'AnnotationCopy', 'Preprocess',
-    'ImageToTracking', 'SingleImage',
+    'ImageToTracking', 'SingleImage', 'SyncPair',
     'DeterministicEqualChoice', 'RandomApply', 'RandomChoice',
     'RotateBy90', 'RotateUniform', 'RescaleAbsolute', 'RescaleRelative',
     'ScaleMix', 'ToAnnotations', 'ToCrowdAnnotations', 'ToDetAnnotations',

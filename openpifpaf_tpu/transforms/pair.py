@@ -93,3 +93,61 @@ class SingleImage(Preprocess):
             out_images.append(image)
             out_anns.append(anns)
         return out_images, out_anns, out_meta
+
+
+class SyncPair(Preprocess):
+    """Apply a *random* single-frame transform to both frames of a pair
+    with synchronized randomness.
+
+    Reference parity: ``src/openpifpaf/transforms/pair.py:~20`` restores
+    the rng state before transforming the second frame, so both frames
+    draw identical augmentation parameters — same hflip decision, same
+    scale factor, same crop window (modulo annotation-dependent shifts,
+    which read as extra simulated camera motion and stay
+    label-consistent).  Here every ``np.random.Generator`` reachable from
+    the wrapped transform is snapshotted and restored.
+    """
+
+    _CHILD_ATTRS = ('transform', 'transforms', 'preprocess',
+                    'preprocess_list', 'frame_steps', 'pair_steps')
+
+    def __init__(self, transform: Preprocess):
+        self.transform = transform
+
+    @classmethod
+    def _generators(cls, root):
+        found, seen = [], set()
+
+        def visit(t):
+            if t is None or id(t) in seen:
+                return
+            seen.add(id(t))
+            rng = getattr(t, 'rng', None)
+            if isinstance(rng, np.random.Generator) \
+                    and not any(rng is g for g in found):
+                found.append(rng)
+            for name in cls._CHILD_ATTRS:
+                child = getattr(t, name, None)
+                if isinstance(child, (list, tuple)):
+                    for c in child:
+                        visit(c)
+                elif child is not None and not callable(getattr(
+                        child, 'encode', None)):   # skip strings
+                    visit(child)
+
+        visit(root)
+        return found
+
+    def __call__(self, images, anns_pair, meta):
+        rngs = self._generators(self.transform)
+        states = [copy.deepcopy(r.bit_generator.state) for r in rngs]
+        out_images, out_anns = [], []
+        out_meta = dict(meta)
+        for i, (image, anns) in enumerate(zip(images, anns_pair)):
+            if i > 0:
+                for r, s in zip(rngs, states):
+                    r.bit_generator.state = copy.deepcopy(s)
+            image, anns, out_meta = self.transform(image, anns, dict(meta))
+            out_images.append(image)
+            out_anns.append(anns)
+        return out_images, out_anns, out_meta

@@ -151,3 +151,69 @@ def test_to_annotations_converters():
     ])(make_image(), [anns[1]], None)
     restored = anns[0].inverse_transform(meta)
     np.testing.assert_allclose(restored.bbox, [0, 0, 100, 50], atol=0.8)
+
+
+class TestSyncPair:
+    """transforms.SyncPair: both frames of a pair draw identical random
+    augmentation parameters (reference transforms/pair.py rng restore)."""
+
+    @staticmethod
+    def _pair(seed=0):
+        import PIL.Image
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 255, (80, 120, 3), np.uint8)
+        image = PIL.Image.fromarray(arr, 'RGB')
+        def anns():
+            return [{
+                'keypoints': np.asarray([[30.0, 40.0, 2.0],
+                                         [60.0, 20.0, 2.0],
+                                         [90.0, 60.0, 2.0]], np.float32),
+                'bbox': [20.0, 10.0, 80.0, 60.0],
+                'iscrowd': 0, 'track_id': 0, 'category_id': 1,
+            }]
+        return [image, image.copy()], [anns(), anns()]
+
+    @staticmethod
+    def _frame_transform(seed):
+        from openpifpaf_tpu.plugins.coco import constants
+        rng = np.random.default_rng(seed)
+        return transforms.Compose([
+            transforms.NormalizeAnnotations(
+                keypoints=constants.COCO_KEYPOINTS[:3],
+                skeleton=[(1, 2), (2, 3)]),
+            transforms.RandomApply(
+                transforms.HFlip(constants.COCO_KEYPOINTS[:3],
+                                 {'left_eye': 'right_eye',
+                                  'right_eye': 'left_eye'}),
+                0.5, rng=np.random.default_rng(seed + 1)),
+            transforms.RescaleRelative((0.5, 1.5),
+                                       rng=np.random.default_rng(seed + 2)),
+            transforms.Crop(49, rng=rng),
+            transforms.CenterPad(49),
+        ])
+
+    def test_frames_synchronized(self):
+        for seed in range(8):
+            images, anns_pair = self._pair(seed)
+            sync = transforms.SyncPair(self._frame_transform(100 + seed))
+            out_images, out_anns, _ = sync(images, anns_pair, {})
+            a, b = np.asarray(out_images[0]), np.asarray(out_images[1])
+            np.testing.assert_array_equal(a, b)
+            np.testing.assert_allclose(out_anns[0][0].data,
+                                       out_anns[1][0].data)
+
+    def test_without_sync_frames_diverge(self):
+        diverged = 0
+        for seed in range(8):
+            images, anns_pair = self._pair(seed)
+            plain = transforms.SingleImage(self._frame_transform(100 + seed))
+            out_images, _, _ = plain(images, anns_pair, {})
+            if not np.array_equal(np.asarray(out_images[0]),
+                                  np.asarray(out_images[1])):
+                diverged += 1
+        assert diverged >= 4   # unsynchronized draws must actually differ
+
+    def test_generator_discovery(self):
+        sync = transforms.SyncPair(self._frame_transform(0))
+        rngs = sync._generators(sync.transform)
+        assert len(rngs) == 3  # RandomApply, RescaleRelative, Crop
