@@ -316,7 +316,8 @@ class GraphBuilder:
         return name
 
     def conv(self, x: str, kernel_hwio: np.ndarray, name: str, *,
-             strides=1, pads=0, groups=1, bias: np.ndarray = None) -> str:
+             strides=1, pads=0, groups=1, dilations=1,
+             bias: np.ndarray = None) -> str:
         # flax HWIO -> ONNX OIHW.  Depthwise flax kernels are
         # (kh, kw, 1, C) with feature_group_count=C -> ONNX (C, 1, kh, kw)
         w = np.transpose(np.asarray(kernel_hwio), (3, 2, 0, 1))
@@ -327,12 +328,29 @@ class GraphBuilder:
         out = self.name(name)
         s = strides if isinstance(strides, (list, tuple)) else (strides,) * 2
         p = pads if isinstance(pads, (list, tuple)) else (pads,) * 4
+        d = dilations if isinstance(dilations, (list, tuple)) \
+            else (dilations,) * 2
         self.nodes.append(node(
             'Conv', inputs, [out], name,
             attr_ints('kernel_shape', (kh, kw)),
             attr_ints('strides', s),
             attr_ints('pads', p),
+            attr_ints('dilations', d),
             attr_int('group', groups)))
+        return out
+
+    def add(self, a: str, b: str) -> str:
+        out = self.name('add')
+        self.nodes.append(node('Add', [a, b], [out]))
+        return out
+
+    def max_pool(self, x: str, kernel: int, strides: int, pads: int) -> str:
+        out = self.name('maxpool')
+        self.nodes.append(node(
+            'MaxPool', [x], [out], '',
+            attr_ints('kernel_shape', (kernel,) * 2),
+            attr_ints('strides', (strides,) * 2),
+            attr_ints('pads', (pads,) * 4)))
         return out
 
     def batchnorm(self, x: str, params: Dict, stats: Dict, name: str,
@@ -419,29 +437,15 @@ def _require(condition, message):
         raise NotImplementedError(message)
 
 
-def build_model_graph(model, *, input_hw=(641, 641)) -> bytes:
-    """Serialize a Model (ShuffleNetV2/V2K + CompositeField4 heads) to
-    ONNX bytes.  Input 'input': (1, 3, H, W) NCHW float32; one output per
-    head named after its meta, shaped (1, F, C, H', W') like the flax
-    forward."""
-    from .models.shufflenetv2k import ShuffleNetV2K
+def _conv_hw(size, k, p, s, d=1):
+    return (size + 2 * p - (d * (k - 1) + 1)) // s + 1
 
-    basenet = model.module.basenet
-    _require(isinstance(basenet, ShuffleNetV2K),
-             f'ONNX export supports the ShuffleNetV2/V2K family; got '
-             f'{type(basenet).__name__}. Use export_stablehlo for the '
-             f'portable native artifact.')
-    _require(basenet.norm in ('batchnorm', 'none'),
-             f'ONNX export supports batchnorm/none, got {basenet.norm!r}')
 
-    params = model.variables['params']['basenet']
-    stats = model.variables.get('batch_stats', {}).get('basenet', {})
-    g = GraphBuilder()
+def _emit_shufflenet(g: GraphBuilder, basenet, params, stats, input_hw):
+    """ShuffleNetV2/V2K backbone -> (feature tensor name, h, w)."""
     ks = basenet.kernel_size
     pad = ks // 2
-
-    def conv_hw(size, k, p, s):
-        return (size + 2 * p - k) // s + 1
+    conv_hw = _conv_hw
 
     def bn_relu(x, prefix):
         if basenet.norm == 'batchnorm':
@@ -505,6 +509,84 @@ def build_model_graph(model, *, input_hw=(641, 641)) -> bytes:
 
     x = g.conv(x, params['conv5']['kernel'], 'basenet.conv5')
     x = bn_relu(x, 'conv5')
+    return x, h, w
+
+
+def _emit_resnet(g: GraphBuilder, basenet, params, stats, input_hw):
+    """ResNet-{50,101,152} trunk -> (feature tensor name, h, w)."""
+    conv_hw = _conv_hw
+
+    def bn(x, prefix, block=None):
+        if basenet.norm != 'batchnorm':
+            return x
+        p = params[block][prefix] if block else params[prefix]
+        s = stats[block][prefix] if block else stats[prefix]
+        name = f'basenet.{block}.{prefix}' if block else f'basenet.{prefix}'
+        return g.batchnorm(x, p, s, name)
+
+    h, w = input_hw
+    s0 = basenet.input_conv_stride
+    x = g.conv('input', params['conv1']['kernel'], 'basenet.conv1',
+               strides=s0, pads=3)
+    h, w = conv_hw(h, 7, 3, s0), conv_hw(w, 7, 3, s0)
+    x = g.relu(bn(x, 'bn1'))
+    if basenet.pool0_stride > 1:
+        x = g.max_pool(x, 3, basenet.pool0_stride, 1)
+        h = conv_hw(h, 3, 1, basenet.pool0_stride)
+        w = conv_hw(w, 3, 1, basenet.pool0_stride)
+
+    channels = (256, 512, 1024, 2048)
+    strides = (1, 2, 2, 2 if basenet.block5_dilation == 1 else 1)
+    dilations = (1, 1, 1, basenet.block5_dilation)
+    for stage_i, (n_blocks, stride, dil) in enumerate(
+            zip(basenet.layers, strides, dilations), start=1):
+        for block_i in range(n_blocks):
+            block = f'layer{stage_i}_{block_i}'
+            p = params[block]
+            s = stride if block_i == 0 else 1
+            y = g.conv(x, p['conv1']['kernel'], f'basenet.{block}.conv1')
+            y = g.relu(bn(y, 'bn1', block))
+            y = g.conv(y, p['conv2']['kernel'], f'basenet.{block}.conv2',
+                       strides=s, pads=dil, dilations=dil)
+            y = g.relu(bn(y, 'bn2', block))
+            y = g.conv(y, p['conv3']['kernel'], f'basenet.{block}.conv3')
+            y = bn(y, 'bn3', block)
+            if 'downsample_conv' in p:
+                residual = g.conv(x, p['downsample_conv']['kernel'],
+                                  f'basenet.{block}.downsample_conv',
+                                  strides=s)
+                residual = bn(residual, 'downsample_bn', block)
+            else:
+                residual = x
+            x = g.relu(g.add(y, residual))
+            if block_i == 0:
+                h = conv_hw(h, 3, dil, s, dil)
+                w = conv_hw(w, 3, dil, s, dil)
+    return x, h, w
+
+
+def build_model_graph(model, *, input_hw=(641, 641)) -> bytes:
+    """Serialize a Model (ShuffleNetV2/V2K or ResNet backbone +
+    CompositeField4 heads) to ONNX bytes.  Input 'input': (1, 3, H, W)
+    NCHW float32; one output per head named after its meta, shaped
+    (1, F, C, H', W') like the flax forward."""
+    from .models.resnet import ResNet
+    from .models.shufflenetv2k import ShuffleNetV2K
+
+    basenet = model.module.basenet
+    _require(isinstance(basenet, (ShuffleNetV2K, ResNet)),
+             f'ONNX export supports the ShuffleNetV2/V2K and ResNet '
+             f'families; got {type(basenet).__name__}. Use '
+             f'export_stablehlo for the portable native artifact.')
+    _require(basenet.norm in ('batchnorm', 'none'),
+             f'ONNX export supports batchnorm/none, got {basenet.norm!r}')
+
+    params = model.variables['params']['basenet']
+    stats = model.variables.get('batch_stats', {}).get('basenet', {})
+    g = GraphBuilder()
+    emit = (_emit_shufflenet if isinstance(basenet, ShuffleNetV2K)
+            else _emit_resnet)
+    x, h, w = emit(g, basenet, params, stats, input_hw)
 
     # heads
     output_infos = []

@@ -36,9 +36,12 @@ def run_onnx(model_dict, inputs):
         strides = tuple(attrs['strides']['ints'])
         pads = attrs['pads']['ints']
         groups = int(attrs['group']['i'])
+        dil = tuple(attrs['dilations']['ints']) if 'dilations' in attrs \
+            else (1, 1)
         out = jax.lax.conv_general_dilated(
             jnp.asarray(x), jnp.asarray(w), window_strides=strides,
             padding=((pads[0], pads[2]), (pads[1], pads[3])),
+            rhs_dilation=dil,
             feature_group_count=groups,
             dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
         if b is not None:
@@ -60,6 +63,16 @@ def run_onnx(model_dict, inputs):
                    + bias[None, :, None, None])
         elif op == 'Relu':
             out = np.maximum(ins[0], 0.0)
+        elif op == 'Add':
+            out = ins[0] + ins[1]
+        elif op == 'MaxPool':
+            k = tuple(a['kernel_shape']['ints'])
+            s = tuple(a['strides']['ints'])
+            p = a['pads']['ints']
+            out = np.asarray(jax.lax.reduce_window(
+                jnp.asarray(ins[0]), -jnp.inf, jax.lax.max,
+                (1, 1, *k), (1, 1, *s),
+                ((0, 0), (0, 0), (p[0], p[2]), (p[1], p[3]))))
         elif op == 'Concat':
             out = np.concatenate(ins, axis=int(a['axis']['i']))
         elif op == 'Slice':
@@ -138,8 +151,22 @@ def test_roundtrip_matches_flax_forward(upsample):
         np.testing.assert_allclose(gv, np.asarray(w), atol=2e-4, rtol=1e-3)
 
 
-def test_unsupported_basenet_raises():
+def test_resnet_roundtrip_matches_flax_forward():
+    hw = (49, 49)
     model = build_model(base='resnet50')
+    parsed = parse_model(build_model_graph(model, input_hw=hw))
+    rng = np.random.default_rng(0)
+    x_nchw = rng.normal(size=(1, 3, *hw)).astype(np.float32)
+    got = run_onnx(parsed, {'input': x_nchw})
+    want = model(x_nchw.transpose(0, 2, 3, 1))
+    for out_info, w in zip(parsed['outputs'], want):
+        gv = got[out_info['name']]
+        assert gv.shape == tuple(np.asarray(w).shape)
+        np.testing.assert_allclose(gv, np.asarray(w), atol=3e-4, rtol=1e-3)
+
+
+def test_unsupported_basenet_raises():
+    model = build_model(base='mobilenetv2')
     with pytest.raises(NotImplementedError, match='ShuffleNetV2'):
         build_model_graph(model, input_hw=(49, 49))
 
