@@ -1,15 +1,18 @@
 """CAF candidate scoring: directed association candidates per skeleton edge.
 
 Reference parity: ``src/openpifpaf/csrc/src/decoder/utils/caf_scored.cpp:~20``:
-CAF cells above ``score_th`` are rescored by blending with the CifHr value
-at their *target* endpoint and stored twice — once per traversal direction —
-so pose growth can walk an edge either way.
+CAF cells above ``score_th`` (raw confidence — the threshold is applied
+*before* rescoring) are rescored by blending with the CifHr value at their
+*target* endpoint and stored twice — once per traversal direction — so
+pose growth can walk an edge either way.
 
 TPU-first: the per-direction "lists" become static-size top-C candidate
-tensors ``(E, 2, C)`` selected with ``top_k``; rescoring is a batched
-bilinear gather from CifHr.  C bounds the association work per growth round
-(the reference iterates all cells; C=256 covers typical images — overflow
-is observable via ``n_dropped``).
+tensors ``(E, 2, C)``: one ``top_k`` on raw confidence per edge selects
+the cells (shared by both directions, like the reference's dual insert),
+then only those C cells are rescored with grouped MXU CifHr gathers.
+C bounds the association work per growth round (the reference iterates
+all cells; C=256 covers typical images — overflow is observable via
+``n_dropped``, which counts cells above threshold that did not fit).
 """
 
 from __future__ import annotations
@@ -71,41 +74,44 @@ def score(components, cifhr: jnp.ndarray, skeleton: np.ndarray, *,
     s1 = components.scale[:, 0] * stride
     s2 = components.scale[:, 1] * stride
 
+    # Filter on RAW confidence, then rescore only the survivors.  This is
+    # the reference's order (``caf_scored.cpp:~30``: ``if (c < score_th)
+    # continue;`` comes before the CifHr blend) and it shrinks the CifHr
+    # rescoring gathers from all H*W cells to the C selected per edge.
+    # Both traversal directions share the selected cells (the reference
+    # stores each surviving cell in both directed lists).
+    flat_conf = conf.reshape(e, n)
+    mask = flat_conf > config.score_th
+    c = config.max_candidates
+    vals, idx, valid = masked_top_k(flat_conf, mask, c)    # (E, C)
+    conf_sel = jnp.where(valid, vals, 0.0)
+    n_dropped = jnp.maximum(0, mask.sum() - valid.sum()).astype(jnp.int32)
+
+    take = jnp.take_along_axis
+
+    def sel(a):
+        return take(a.reshape(e, n), idx, 1)               # (E, C)
+
+    x1s, y1s, x2s, y2s, s1s, s2s = map(sel, (x1, y1, x2, y2, s1, s2))
+
     kp1 = jnp.asarray(skeleton[:, 0], jnp.int32)
     kp2 = jnp.asarray(skeleton[:, 1], jnp.int32)
-    hr1 = gather_field_grouped(cifhr, kp1, x1, y1, hr_spacing)
-    hr2 = gather_field_grouped(cifhr, kp2, x2, y2, hr_spacing)
+    hr1 = gather_field_grouped(cifhr, kp1, x1s, y1s, hr_spacing)
+    hr2 = gather_field_grouped(cifhr, kp2, x2s, y2s, hr_spacing)
 
     floor = config.cif_floor
-    score_fwd = conf * (floor + (1.0 - floor) * hr2)   # walk 1 -> 2
-    score_bwd = conf * (floor + (1.0 - floor) * hr1)   # walk 2 -> 1
+    score_fwd = conf_sel * (floor + (1.0 - floor) * hr2)   # walk 1 -> 2
+    score_bwd = conf_sel * (floor + (1.0 - floor) * hr1)   # walk 2 -> 1
 
-    c = config.max_candidates
+    def stack(fwd, bwd):
+        return jnp.stack([fwd, bwd], axis=1)               # (E, 2, C)
 
-    def directed(sc, xs, ys, xt, yt, st):
-        flat = sc.reshape(e, n)
-        mask = flat > config.score_th
-        vals, idx, valid = _vectorized_top_k(flat, mask, c)
-        take = jnp.take_along_axis
-        out = dict(
-            score=jnp.where(valid, vals, 0.0),
-            x_src=take(xs.reshape(e, n), idx, 1),
-            y_src=take(ys.reshape(e, n), idx, 1),
-            x_tgt=take(xt.reshape(e, n), idx, 1),
-            y_tgt=take(yt.reshape(e, n), idx, 1),
-            s_tgt=take(st.reshape(e, n), idx, 1),
-            valid=valid,
-        )
-        dropped = jnp.maximum(0, mask.sum() - valid.sum())
-        return out, dropped
-
-    fwd, d1 = directed(score_fwd, x1, y1, x2, y2, s2)
-    bwd, d2 = directed(score_bwd, x2, y2, x1, y1, s1)
-
-    stacked = {k: jnp.stack([fwd[k], bwd[k]], axis=1) for k in fwd}
-    return CafCandidates(n_dropped=(d1 + d2).astype(jnp.int32), **stacked)
-
-
-def _vectorized_top_k(values: jnp.ndarray, mask: jnp.ndarray, k: int):
-    from .common import masked_top_k
-    return masked_top_k(values, mask, k)
+    return CafCandidates(
+        score=stack(score_fwd, score_bwd),
+        x_src=stack(x1s, x2s),
+        y_src=stack(y1s, y2s),
+        x_tgt=stack(x2s, x1s),
+        y_tgt=stack(y2s, y1s),
+        s_tgt=stack(s2s, s1s),
+        valid=stack(valid, valid),
+        n_dropped=n_dropped)
