@@ -67,24 +67,32 @@ class Evaluator:
         base = (getattr(self.datamodule, 'eval_long_edge', None)
                 or getattr(self.datamodule, 'image_size', None)
                 or predictor.long_edge)
-        long_edges = sorted({
-            max(2, int(round(base * f / 16))) * 16 + 1
-            for f in predictor.multi_scale_factors})
-        hflips = (False, True) if predictor.multi_scale_hflip else (False,)
-        variants = [(le, hf) for le in long_edges for hf in hflips]
-        reference_index = variants.index((max(long_edges), False))
+        variants, reference_index = predictor.multiscale_variants(base)
         LOG.info('multi-scale eval over %d variants: %s', len(variants),
                  variants)
 
-        loaders = [self.datamodule.eval_loader(long_edge=le, hflip=hf)
-                   for le, hf in variants]
+        try:
+            loaders = [self.datamodule.eval_loader(long_edge=le, hflip=hf)
+                       for le, hf in variants]
+        except TypeError as e:
+            raise ValueError(
+                f'{type(self.datamodule).__name__} does not support '
+                'multi-scale eval (its eval_loader lacks the '
+                'long_edge/hflip variant kwargs)') from e
         sigmas = getattr(predictor.model.head_metas[0], 'sigmas', None)
+
+        loader_iters = [iter(loader) for loader in loaders]
+        if self.loader_warmup:
+            LOG.info('waiting %.1fs for loader warmup', self.loader_warmup)
+            firsts = [list(itertools.islice(it, 1)) for it in loader_iters]
+            time.sleep(self.loader_warmup)
+            loader_iters = [itertools.chain(first, it)
+                            for first, it in zip(firsts, loader_iters)]
 
         total_start = time.perf_counter()
         # zip per-variant iterators: results stream image by image, each
         # variant buffers at most one decoded batch
-        iterators = [predictor.dataset_loader(iter(loader))
-                     for loader in loaders]
+        iterators = [predictor.dataset_loader(it) for it in loader_iters]
         for results in zip(*iterators):
             ann_lists = [r[0] for r in results]
             _, gt, image_meta = results[reference_index]

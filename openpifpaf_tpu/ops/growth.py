@@ -179,7 +179,7 @@ def _weighted_best(qx, qy, sigma, cxs, cys, cxt, cyt, cst, cvalid, cscore,
 
 def _connection_values(poses, placed, pose_valid, cand: CafCandidates,
                        edges: DirectedEdges, config: GrowthConfig,
-                       keypoint_threshold: float, reverse_match: bool):
+                       reverse_match: bool):
     """Best association per (pose, directed edge).
 
     Returns value (P,Q), target x/y/scale (P,Q), new joint score (P,Q).
@@ -382,13 +382,12 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
     def cond(state):
         return (state[2] < rounds) & state[3]
 
-    def run(poses, placed, body, threshold: float, reverse: bool,
-            pass_cand: CafCandidates):
+    def run(poses, placed, body, reverse: bool, pass_cand: CafCandidates):
         # seed the cache with one full pass over every currently-placed
         # source (pass start: the seed joint, or — force-complete — the
         # whole first-pass pose); rounds then update incrementally
         full = _connection_values(poses, placed, pose_valid, pass_cand,
-                                  edges, config, threshold, reverse)
+                                  edges, config, reverse)
         tables = tuple(
             jnp.concatenate([t, jnp.zeros((p, 1), t.dtype)], axis=1)
             for t in full)
@@ -400,11 +399,10 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
 
     poses, placed = run(poses, placed,
                         make_body(kp_th, config.keypoint_threshold_rel,
-                                  rev, cand), kp_th, rev, cand)
+                                  rev, cand), rev, cand)
     if config.force_complete:
         fc_cand = force_cand if force_cand is not None else cand
         poses, placed = run(poses, placed,
                             make_body(config.force_complete_threshold,
-                                      0.0, False, fc_cand),
-                            config.force_complete_threshold, False, fc_cand)
+                                      0.0, False, fc_cand), False, fc_cand)
     return poses, placed

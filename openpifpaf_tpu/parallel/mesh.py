@@ -46,7 +46,10 @@ def initialize_distributed() -> None:
             num_processes=int(os.environ['JAX_NUM_PROCESSES']),
             process_id=int(os.environ['JAX_PROCESS_ID']))
     except RuntimeError as exc:
-        # already initialized (idempotent second call) — keep going
+        if 'already initialized' not in str(exc).lower():
+            # a real rendezvous/init failure: continuing would silently
+            # train N independent single-process copies on split data
+            raise
         LOG.warning('jax.distributed.initialize: %s', exc)
     LOG.info('distributed: process %d/%d', jax.process_index(),
              jax.process_count())

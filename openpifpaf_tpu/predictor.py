@@ -154,7 +154,8 @@ class Predictor:
         ]
         return transforms.Compose(steps)
 
-    def dataset(self, data) -> Iterator[Tuple[List, List, dict]]:
+    def dataset(self, data, *,
+                json_data: Optional[bool] = None) -> Iterator[Tuple[List, List, dict]]:
         """Iterate (pred, gt_anns, meta) over a Dataset/Loader."""
         if isinstance(data, datasets.Loader):
             loader = data
@@ -164,9 +165,13 @@ class Predictor:
                 data, batch_size=self.batch_size, shuffle=False,
                 collate_fn=datasets.collate_images_anns_meta,
                 num_workers=workers, drop_last=False)
-        yield from self.dataset_loader(loader)
+        yield from self.dataset_loader(loader, json_data=json_data)
 
-    def dataset_loader(self, loader) -> Iterator[Tuple[List, List, dict]]:
+    def dataset_loader(self, loader, *,
+                       json_data: Optional[bool] = None
+                       ) -> Iterator[Tuple[List, List, dict]]:
+        if json_data is None:
+            json_data = self.json_data
         for images, gt_batch, meta_batch in loader:
             start = time.perf_counter()
             images, _ = self._place_batch(np.asarray(images))
@@ -189,7 +194,7 @@ class Predictor:
             for preds, gts, meta in zip(pred_batch, gt_batch, meta_batch):
                 preds = [ann.inverse_transform(meta) for ann in preds]
                 gts = [ann.inverse_transform(meta) for ann in gts]
-                if self.json_data:
+                if json_data:
                     preds = [ann.json_data() for ann in preds]
                 yield preds, gts, meta
 
@@ -236,6 +241,25 @@ class Predictor:
             merged.append(ann)
         return merged + passthrough
 
+    def multiscale_variants(self, base_long_edge: Optional[int] = None):
+        """(variant (long_edge, hflip) keys, reference variant index).
+
+        Long edges are rounded to the stride grid (reference eval
+        resolution 641 = 40*16+1); each size is its own compiled program.
+        The reference variant — meta/gt/box passthrough come from it — is
+        the largest non-flipped scale.  Shared by ``images_multiscale``
+        and eval's ``run_multi_scale`` so predict and eval always use the
+        same scales.
+        """
+        base = base_long_edge or self.long_edge
+        long_edges = sorted({
+            max(2, int(round(base * f / 16))) * 16 + 1
+            for f in self.multi_scale_factors})
+        hflips = (False, True) if self.multi_scale_hflip else (False,)
+        variant_keys = [(long_edge, hflip) for long_edge in long_edges
+                        for hflip in hflips]
+        return variant_keys, variant_keys.index((max(long_edges), False))
+
     def images_multiscale(self, paths: Sequence[str],
                           long_edges: Optional[Sequence[int]] = None) -> Iterator:
         """Predict each image at several scales (and hflips) and merge.
@@ -246,47 +270,40 @@ class Predictor:
         original image coordinates before the OKS merge, so variants
         compose exactly.
         """
-        if long_edges is None:
-            # round to the stride grid (reference eval resolution 641 =
-            # 40*16+1); each size is its own compiled program
-            long_edges = sorted({
-                max(2, int(round(self.long_edge * f / 16))) * 16 + 1
-                for f in self.multi_scale_factors})
-        hflips = (False, True) if self.multi_scale_hflip else (False,)
+        if long_edges is not None:
+            hflips = (False, True) if self.multi_scale_hflip else (False,)
+            variant_keys = [(le, hf) for le in sorted(long_edges)
+                            for hf in hflips]
+            reference_index = variant_keys.index((max(long_edges), False))
+        else:
+            variant_keys, reference_index = self.multiscale_variants()
 
         meta0 = self.model.head_metas[0]
         sigmas = getattr(meta0, 'sigmas', None)
-        variant_keys = [(long_edge, hflip) for long_edge in long_edges
-                        for hflip in hflips]
-        # reference variant = largest non-flipped scale (meta/gt/box
-        # passthrough come from it)
-        reference_index = variant_keys.index((max(long_edges), False))
+        json_data = self.json_data   # read once; do not mutate shared state
 
-        # the per-variant dataset() runs must yield Annotation objects for
-        # the OKS merge — apply any json_data conversion after merging
-        json_data, self.json_data = self.json_data, False
-        try:
-            # zip the per-variant iterators so results stream image by image
-            # (each iterator buffers at most one decoded batch) instead of
-            # materializing all variants for the whole path list
-            iterators = [
-                iter(self.dataset(datasets.ImageList(
-                    paths, self.preprocess_factory(long_edge=long_edge,
-                                                   hflip=hflip))))
-                for long_edge, hflip in variant_keys]
-            for results in zip(*iterators):
-                # dataset() already inverse-transforms predictions to the
-                # original image coordinates, so variants compose exactly
-                ann_lists = [r[0] for r in results]
-                _, gt, meta = results[reference_index]
-                merged = self.merge_annotations(
-                    ann_lists, sigmas=sigmas,
-                    reference_index=reference_index)
-                if json_data:
-                    merged = [ann.json_data() for ann in merged]
-                yield merged, gt, meta
-        finally:
-            self.json_data = json_data
+        # zip the per-variant iterators so results stream image by image
+        # (each iterator buffers at most one decoded batch) instead of
+        # materializing all variants for the whole path list.  The
+        # per-variant runs yield Annotation objects for the OKS merge
+        # (json_data=False); conversion happens after merging.
+        iterators = [
+            iter(self.dataset(datasets.ImageList(
+                paths, self.preprocess_factory(long_edge=long_edge,
+                                               hflip=hflip)),
+                json_data=False))
+            for long_edge, hflip in variant_keys]
+        for results in zip(*iterators):
+            # dataset() already inverse-transforms predictions to the
+            # original image coordinates, so variants compose exactly
+            ann_lists = [r[0] for r in results]
+            _, gt, meta = results[reference_index]
+            merged = self.merge_annotations(
+                ann_lists, sigmas=sigmas,
+                reference_index=reference_index)
+            if json_data:
+                merged = [ann.json_data() for ann in merged]
+            yield merged, gt, meta
 
     def numpy_images(self, images) -> Iterator:
         data = datasets.NumpyImageList(images, self.preprocess_factory())

@@ -39,14 +39,24 @@ _HFLIP_PERM = np.asarray([
 def harness_config(**growth_updates) -> pipeline.CifCafConfig:
     """Production defaults with budgets raised so static-budget overflow
     (which hits both paths identically) does not mask scheduling drift at
-    60-pose density."""
+    60-pose density.  When force_complete is on, the second pass gets its
+    own relaxed candidate set with a doubled budget, exactly like the
+    production decoder (``decoder/cifcaf.py`` config: score_th 0.001,
+    2x max_candidates)."""
     config = pipeline.CifCafConfig(stride=16, image_hw=IMAGE_HW)
+    growth_config = dataclasses.replace(config.growth, max_poses=128,
+                                        **growth_updates)
+    caf_fc = None
+    if growth_config.force_complete:
+        caf_fc = dataclasses.replace(
+            config.caf, score_th=growth_config.force_complete_threshold,
+            max_candidates=2 * 512)
     config = dataclasses.replace(
         config,
         seeds=dataclasses.replace(config.seeds, max_seeds=1024),
         caf=dataclasses.replace(config.caf, max_candidates=512),
-        growth=dataclasses.replace(config.growth, max_poses=128,
-                                   **growth_updates),
+        caf_fc=caf_fc,
+        growth=growth_config,
     )
     return config
 
