@@ -26,31 +26,53 @@ class Coco(Base):
                              'AR', 'AR0.5', 'AR0.75', 'ARM', 'ARL']
     text_labels_bbox = ['AP', 'AP0.5', 'AP0.75', 'APS', 'APM', 'APL',
                         'AR', 'AR0.5', 'AR0.75', 'ARS', 'ARM', 'ARL']
+    # crowdposetools summary: AP by per-image crowd-index band instead of
+    # by instance area (easy < 0.1 <= medium < 0.8 <= hard)
+    text_labels_crowd = ['AP', 'AP0.5', 'AP0.75', 'APE', 'APM', 'APH',
+                         'AR', 'AR0.5', 'AR0.75']
 
     def __init__(self, *, ann_file: Optional[str] = None,
                  ground_truth_from_loader: bool = False,
                  iou_type: str = 'keypoints',
                  keypoint_oks_sigmas: Optional[Sequence[float]] = None,
                  max_per_image: int = 20,
-                 category_ids: Sequence[int] = (1,)):
+                 category_ids: Sequence[int] = (1,),
+                 crowd_index_groups: bool = False):
         self.iou_type = iou_type
         self.max_per_image = max_per_image
         self.category_ids = list(category_ids)
-        self.text_labels = (self.text_labels_keypoints
-                            if iou_type == 'keypoints'
-                            else self.text_labels_bbox)
+        self.crowd_index_groups = crowd_index_groups
+        if crowd_index_groups:
+            self.text_labels = self.text_labels_crowd
+        else:
+            self.text_labels = (self.text_labels_keypoints
+                                if iou_type == 'keypoints'
+                                else self.text_labels_bbox)
         self.eval = CocoEval(iou_type=iou_type, sigmas=keypoint_oks_sigmas,
                              max_dets=max_per_image)
         self.ground_truth_from_loader = ground_truth_from_loader
         self.gt_by_image = {}
+        self.group_by_image = {}
         if ann_file:
             self._load_gt(ann_file)
         self.predictions: List[dict] = []
         self.image_ids: List = []
 
+    @staticmethod
+    def _crowd_group(crowd_index: float) -> str:
+        if crowd_index < 0.1:
+            return 'E'
+        if crowd_index < 0.8:
+            return 'M'
+        return 'H'
+
     def _load_gt(self, ann_file: str) -> None:
         with open(ann_file) as f:
             data = json.load(f)
+        if self.crowd_index_groups:
+            for image in data.get('images', []):
+                self.group_by_image[image['id']] = self._crowd_group(
+                    float(image.get('crowdIndex', 0.0)))
         for ann in data.get('annotations', []):
             if self.category_ids and \
                     ann.get('category_id', 1) not in self.category_ids:
@@ -100,11 +122,17 @@ class Coco(Base):
             self.eval.add_image(image_id, dts, gts)
         else:
             self.eval.add_image(image_id, dts,
-                                self.gt_by_image.get(image_id, []))
+                                self.gt_by_image.get(image_id, []),
+                                group=self.group_by_image.get(image_id))
 
     def stats(self) -> dict:
         results = self.eval.summarize()
-        if self.iou_type == 'keypoints':
+        if self.crowd_index_groups:
+            stats = [results['AP'], results['AP0.5'], results['AP0.75'],
+                     results.get('AP.E', -1.0), results.get('AP.M', -1.0),
+                     results.get('AP.H', -1.0),
+                     results['AR'], results['AR0.5'], results['AR0.75']]
+        elif self.iou_type == 'keypoints':
             stats = [results['AP'], results['AP0.5'], results['AP0.75'],
                      results['APM'], results['APL'],
                      results['AR'], results['AR0.5'], results['AR0.75'],

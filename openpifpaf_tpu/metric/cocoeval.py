@@ -218,8 +218,10 @@ class CocoEval:
         self.images: Dict[int, dict] = {}
 
     def add_image(self, image_id, dts: List[DtInstance],
-                  gts: List[GtInstance]) -> None:
-        self.images[image_id] = {'dts': dts, 'gts': gts}
+                  gts: List[GtInstance], group: Optional[str] = None) -> None:
+        """``group`` tags the image for an optional grouped breakdown
+        (CrowdPose crowd-index bands: results gain ``AP.{group}``)."""
+        self.images[image_id] = {'dts': dts, 'gts': gts, 'group': group}
 
     def summarize(self) -> Dict[str, float]:
         area_ranges = (AREA_RANGES_KP if self.iou_type == 'keypoints'
@@ -245,4 +247,24 @@ class CocoEval:
         results['AP0.75'] = float(ap_all[5]) if ap_all[5] > -1 else -1.0
         results['AR0.5'] = float(ar_all[0]) if ar_all[0] > -1 else -1.0
         results['AR0.75'] = float(ar_all[5]) if ar_all[5] > -1 else -1.0
+
+        # per-group breakdown over the 'all' area range (crowdposetools
+        # reports AP(easy/medium/hard) by per-image crowd index)
+        groups = sorted({img['group'] for img in self.images.values()
+                         if img['group'] is not None})
+        area_all = area_ranges['all']
+        for group in groups:
+            per_image = [
+                evaluate_image(img['dts'], img['gts'], sigmas=self.sigmas,
+                               area_range=area_all, max_dets=self.max_dets,
+                               iou_type=self.iou_type)
+                for img in self.images.values() if img['group'] == group
+            ]
+            ap, ar = accumulate(per_image)
+            valid_ap = ap[ap > -1]
+            valid_ar = ar[ar > -1]
+            results[f'AP.{group}'] = (float(valid_ap.mean())
+                                      if len(valid_ap) else -1.0)
+            results[f'AR.{group}'] = (float(valid_ar.mean())
+                                      if len(valid_ar) else -1.0)
         return results

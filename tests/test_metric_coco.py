@@ -11,6 +11,7 @@ import json
 import numpy as np
 import pytest
 
+from openpifpaf_tpu import metric
 from openpifpaf_tpu.metric.cocoeval import (CocoEval, DtInstance, GtInstance,
                                             bbox_iou, oks)
 
@@ -204,3 +205,71 @@ def test_coco_wrapper_with_ann_file(tmp_path):
     assert stats['stats'][0] == pytest.approx(1.0)
     assert stats['n_images'] == 1
     assert metric.predictions_json()[0]['image_id'] == 7
+
+
+class TestCrowdIndexGroups:
+    """crowdposetools protocol: AP broken down by per-image crowd-index
+    band (easy < 0.1 <= medium < 0.8 <= hard) instead of instance area."""
+
+    @staticmethod
+    def _ann_file(tmp_path):
+        import json
+
+        def kp(x, y):
+            return [x, y, 2.0, x, y + 30.0, 2.0, x, y + 60.0, 2.0]
+
+        data = {
+            'images': [
+                {'id': 1, 'crowdIndex': 0.05},   # easy
+                {'id': 2, 'crowdIndex': 0.5},    # medium
+                {'id': 3, 'crowdIndex': 0.9},    # hard
+            ],
+            'annotations': [
+                {'id': 10, 'image_id': 1, 'category_id': 1,
+                 'keypoints': kp(50, 50), 'bbox': [40, 40, 60, 80],
+                 'area': 4800, 'iscrowd': 0},
+                {'id': 11, 'image_id': 2, 'category_id': 1,
+                 'keypoints': kp(80, 60), 'bbox': [70, 50, 60, 80],
+                 'area': 4800, 'iscrowd': 0},
+                {'id': 12, 'image_id': 3, 'category_id': 1,
+                 'keypoints': kp(90, 90), 'bbox': [80, 80, 60, 80],
+                 'area': 4800, 'iscrowd': 0},
+            ],
+        }
+        path = tmp_path / 'crowdpose.json'
+        with open(path, 'w') as f:
+            json.dump(data, f)
+        return str(path)
+
+    def test_group_breakdown(self, tmp_path):
+        sigmas = [0.1, 0.1, 0.1]
+        m = metric.Coco(ann_file=self._ann_file(tmp_path),
+                        iou_type='keypoints', keypoint_oks_sigmas=sigmas,
+                        crowd_index_groups=True)
+        assert m.text_labels == ['AP', 'AP0.5', 'AP0.75', 'APE', 'APM',
+                                 'APH', 'AR', 'AR0.5', 'AR0.75']
+
+        def pred(x, y, score=0.9):
+            return {'keypoints': [x, y, 2.0, x, y + 30.0, 2.0,
+                                  x, y + 60.0, 2.0],
+                    'bbox': [x - 10, y - 10, 60, 80], 'score': score,
+                    'category_id': 1}
+
+        # perfect on easy, perfect on medium, garbage on hard
+        m.accumulate([pred(50, 50)], {'image_id': 1})
+        m.accumulate([pred(80, 60)], {'image_id': 2})
+        m.accumulate([pred(400, 400)], {'image_id': 3})
+        stats = m.stats()
+        by = dict(zip(stats['text_labels'], stats['stats']))
+        assert by['APE'] == pytest.approx(1.0)
+        assert by['APM'] == pytest.approx(1.0)
+        assert by['APH'] == pytest.approx(0.0)
+        assert 0.5 < by['AP'] < 0.75   # 2/3 matched, pooled
+
+    def test_crowd_group_bands(self):
+        assert metric.Coco._crowd_group(0.0) == 'E'
+        assert metric.Coco._crowd_group(0.09999) == 'E'
+        assert metric.Coco._crowd_group(0.1) == 'M'
+        assert metric.Coco._crowd_group(0.79999) == 'M'
+        assert metric.Coco._crowd_group(0.8) == 'H'
+        assert metric.Coco._crowd_group(1.0) == 'H'
