@@ -288,7 +288,7 @@ class CifCaf(Decoder):
                       np.asarray(sds.x), np.asarray(sds.y),
                       np.asarray(sds.s)], axis=-1))
 
-    def batch_fields(self, fields) -> List[List[Annotation]]:
+    def batch_fields(self, fields, metas=None) -> List[List[Annotation]]:
         cif_fields = fields[self.cif_meta.head_index]
         caf_fields = self._caf_field(fields, axis=1)
         h, w = cif_fields.shape[-2:]

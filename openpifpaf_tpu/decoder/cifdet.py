@@ -145,7 +145,7 @@ class CifDet(Decoder):
         out = self._decoder_for(image_hw)(field[None])
         return self._to_annotations({k: v[0] for k, v in out.items()})
 
-    def batch_fields(self, fields) -> List[List[AnnotationDet]]:
+    def batch_fields(self, fields, metas=None) -> List[List[AnnotationDet]]:
         field = fields[self.meta.head_index]
         h, w = field.shape[-2:]
         stride = self.meta.stride

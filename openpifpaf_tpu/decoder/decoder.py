@@ -60,7 +60,11 @@ class Decoder:
         self.__class__.last_decoder_time = time.perf_counter() - start
         return result
 
-    def batch_fields(self, fields) -> List[List]:
-        """Decode batched field tensors (list of (B, F, C, H, W))."""
+    def batch_fields(self, fields, metas=None) -> List[List]:
+        """Decode batched field tensors (list of (B, F, C, H, W)).
+
+        ``metas``: optional per-item image metas — stateful decoders
+        (TrackingPose) use ``meta['sequence_id']`` to segment track state.
+        """
         batch_size = fields[0].shape[0]
         return [self([f[i] for f in fields]) for i in range(batch_size)]

@@ -17,7 +17,8 @@ class Multi(Decoder):
     def __call__(self, fields) -> List:
         return [ann for d in self.decoders for ann in d(fields)]
 
-    def batch_fields(self, fields) -> List[List]:
-        per_decoder = [d.batch_fields(fields) for d in self.decoders]
+    def batch_fields(self, fields, metas=None) -> List[List]:
+        per_decoder = [d.batch_fields(fields, metas=metas)
+                       for d in self.decoders]
         return [[ann for dec_out in per_decoder for ann in dec_out[i]]
                 for i in range(len(per_decoder[0]))]

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import argparse
 import logging
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -75,8 +75,14 @@ class TrackingPose(Decoder):
 
     # ------------------------------------------------------------------
     def reset(self) -> None:
-        self.frame_number = 0
         self.next_track_id = 1
+        self._sequence = None
+        self.reset_tracks()
+
+    def reset_tracks(self) -> None:
+        """Drop the track memory (sequence boundary); ids keep counting
+        so they stay unique across sequences."""
+        self.frame_number = 0
         # state of the previous frame (static arrays + host id list)
         self.prev_xyv = None        # (P, K, 3) px
         self.prev_valid = None      # (P,) float
@@ -118,13 +124,23 @@ class TrackingPose(Decoder):
             self.prev_ids[p] = self.next_track_id
             self.next_track_id += 1
 
-    def __call__(self, fields) -> List[Annotation]:
+    def __call__(self, fields, meta: Optional[dict] = None) -> List[Annotation]:
         """Decode one frame pair.
 
         ``fields``: [cif (2, F, 5, h, w), caf (2, E, 9, h, w),
         tcaf (K, 9, h, w)] — frame 0 is the previous frame, frame 1 the
         current one (``models/tracking_base.py`` layout).
+
+        ``meta['sequence_id']`` (when present) segments track state: a
+        new sequence drops the track memory, so independent eval pairs
+        never associate against a different image's poses and real
+        sequences keep id continuity across their consecutive pairs.
         """
+        sequence = (meta or {}).get('sequence_id')
+        if sequence is not None and sequence != self._sequence:
+            self._sequence = sequence
+            self.reset_tracks()
+
         cif_pair = np.asarray(fields[self.cif_meta.head_index])
         caf_pair = np.asarray(fields[self.caf_meta.head_index])
         tcaf_field = np.asarray(fields[self.tcaf_meta.head_index])
@@ -197,13 +213,15 @@ class TrackingPose(Decoder):
             annotations.append(ann)
         return annotations
 
-    def batch_fields(self, fields) -> List[List[Annotation]]:
-        """Decode a batch of frame pairs (sequential: track state carries)."""
+    def batch_fields(self, fields, metas=None) -> List[List[Annotation]]:
+        """Decode a batch of frame pairs (sequential: track state carries
+        within a sequence; ``metas[i]['sequence_id']`` boundaries reset)."""
         cif = np.asarray(fields[self.cif_meta.head_index])
         caf = np.asarray(fields[self.caf_meta.head_index])
         tcaf = np.asarray(fields[self.tcaf_meta.head_index])
         batch_size = tcaf.shape[0]
         return [
-            self([cif[2 * i:2 * i + 2], caf[2 * i:2 * i + 2], tcaf[i]])
+            self([cif[2 * i:2 * i + 2], caf[2 * i:2 * i + 2], tcaf[i]],
+                 meta=metas[i] if metas else None)
             for i in range(batch_size)
         ]

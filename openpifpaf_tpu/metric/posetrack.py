@@ -53,7 +53,10 @@ class PoseTrack(Base):
         self.id_switches = 0
         self.n_gt = 0
         self.matched_oks: List[float] = []
-        # gt track id -> predicted track id of the last match
+        # (sequence, gt track id) -> predicted track id of the last match;
+        # keyed per sequence so id continuity is only demanded WITHIN a
+        # sequence (CLEAR-MOT semantics) — independent eval pairs reuse
+        # gt ids 0, 1, ... and must not count cross-item "switches"
         self.last_match: dict = {}
         self.frames = defaultdict(list)  # sequence -> [frame dicts]
         self._frame_counter = 0
@@ -96,12 +99,12 @@ class PoseTrack(Base):
             matched_gt.add(gi)
             matched_pred.add(pi)
             self.matched_oks.append(float(scores[gi, pi]))
-            gt_id = getattr(gts[gi], 'id_', gi)
+            gt_key = (sequence, getattr(gts[gi], 'id_', gi))
             pred_id = getattr(predictions[pi], 'id_', -1)
-            if gt_id in self.last_match \
-                    and self.last_match[gt_id] != pred_id:
+            if gt_key in self.last_match \
+                    and self.last_match[gt_key] != pred_id:
                 self.id_switches += 1
-            self.last_match[gt_id] = pred_id
+            self.last_match[gt_key] = pred_id
 
         self.misses += len(gts) - len(matched_gt)
         self.false_positives += len(predictions) - len(matched_pred)

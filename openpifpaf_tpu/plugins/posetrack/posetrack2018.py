@@ -38,10 +38,11 @@ class PoseTrack2018Dataset(Dataset):
                  only_annotated: bool = True):
         self.preprocess = preprocess
         self.data_root = data_root
-        self.pairs = []  # (file_name_prev, file_name_curr, anns_prev, anns_curr)
+        self.pairs = []  # (seq_id, fn_prev, fn_curr, anns_prev, anns_curr)
         for path in annotation_files:
             with open(path) as f:
                 seq = json.load(f)
+            seq_id = os.path.splitext(os.path.basename(path))[0]
             by_image = {}
             for ann in seq.get('annotations', []):
                 by_image.setdefault(ann['image_id'], []).append(ann)
@@ -51,7 +52,7 @@ class PoseTrack2018Dataset(Dataset):
                 if only_annotated and curr['id'] not in by_image:
                     continue
                 self.pairs.append((
-                    prev['file_name'], curr['file_name'],
+                    seq_id, prev['file_name'], curr['file_name'],
                     by_image.get(prev['id'], []),
                     by_image.get(curr['id'], []),
                 ))
@@ -74,13 +75,16 @@ class PoseTrack2018Dataset(Dataset):
         return out
 
     def __getitem__(self, index):
-        fn_prev, fn_curr, anns_prev, anns_curr = self.pairs[index]
+        seq_id, fn_prev, fn_curr, anns_prev, anns_curr = self.pairs[index]
         image_prev = PIL.Image.open(
             os.path.join(self.data_root, fn_prev)).convert('RGB')
         image_curr = PIL.Image.open(
             os.path.join(self.data_root, fn_curr)).convert('RGB')
+        # consecutive pairs of one sequence share sequence_id, so
+        # TrackingPose keeps id continuity within the sequence and the
+        # CLEAR-MOT metric segments at real sequence boundaries
         meta = {'dataset_index': index, 'file_name': fn_curr,
-                'image_id': index}
+                'image_id': index, 'sequence_id': seq_id}
         return self.preprocess(
             [image_prev, image_curr],
             [self._to_dicts(anns_prev), self._to_dicts(anns_curr)], meta)

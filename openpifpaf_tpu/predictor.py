@@ -184,9 +184,11 @@ class Predictor:
                 from .profiler import Profiler  # pylint: disable=import-outside-toplevel
 
                 with Profiler(out_name=decoder_mod.Decoder.profile)():
-                    pred_batch = self.decoder.batch_fields(fields)
+                    pred_batch = self.decoder.batch_fields(
+                        fields, metas=meta_batch)
             else:
-                pred_batch = self.decoder.batch_fields(fields)
+                pred_batch = self.decoder.batch_fields(fields,
+                                                       metas=meta_batch)
             self.last_decoder_time = time.perf_counter() - start
             self.total_decoder_time += self.last_decoder_time
             self.total_images += len(meta_batch)

@@ -76,6 +76,11 @@ class ImageToTracking(Preprocess):
             ann.data[out, 2] = 0.0
 
         meta = Preprocess.init_meta(image, meta)
+        # every pseudo-pair is its own sequence: the two frames derive
+        # from ONE image, so track state must never leak into the next
+        # dataset item (TrackingPose segments on sequence_id)
+        meta.setdefault('sequence_id', 'img{}'.format(
+            meta.get('image_id', meta.get('dataset_index', id(anns1)))))
         return [image, image2], [anns1, anns2], meta
 
 

@@ -64,3 +64,26 @@ def test_write_predictions(tmp_path):
     data = json.loads((tmp_path / 'out.seqA.predictions.json').read_text())
     assert data['sequence'] == 'seqA'
     assert data['frames'][0]['predictions'][0]['track_id'] == 3
+
+
+def test_no_cross_sequence_id_switches():
+    """Independent sequences reuse gt track ids (pseudo-pairs number them
+    0, 1, ...); fresh predicted ids in a NEW sequence are not switches."""
+    m = PoseTrack(keypoint_oks_sigmas=constants.COCO_PERSON_SIGMAS)
+    for item in range(5):
+        gt = [make_ann(track_id=0)]
+        pred = [make_ann(track_id=100 + item)]   # new pred id per item
+        m.accumulate(pred, {'sequence_id': f'img{item}'}, ground_truth=gt)
+    stats = dict(zip(m.text_labels, m.stats()['stats']))
+    assert stats['id_switches'] == 0
+    assert stats['MOTA'] == 1.0
+
+
+def test_within_sequence_switch_still_counts():
+    m = PoseTrack(keypoint_oks_sigmas=constants.COCO_PERSON_SIGMAS)
+    for frame in range(3):
+        gt = [make_ann(track_id=0)]
+        pred = [make_ann(track_id=frame)]        # changes every frame
+        m.accumulate(pred, {'sequence_id': 'seqA'}, ground_truth=gt)
+    stats = dict(zip(m.text_labels, m.stats()['stats']))
+    assert stats['id_switches'] == 2

@@ -120,6 +120,10 @@ def test_pairs_from_sequences(datamodule):
         datamodule.data_root, preprocess=lambda im, an, me: (im, an, me))
     assert len(dataset) == 6
     images, anns_pair, meta = dataset[0]
+    assert meta['sequence_id'] == '000001_mpii_test'
+    # all 3 pairs of sequence 1 share the id; sequence 2 differs
+    assert dataset[2][2]['sequence_id'] == meta['sequence_id']
+    assert dataset[3][2]['sequence_id'] == '000002_mpii_test'
     assert len(images) == 2
     assert images[0].size == (IMAGE_HW[1], IMAGE_HW[0])
     prev_anns, curr_anns = anns_pair

@@ -237,3 +237,33 @@ class TestTrackingModelTrain:
         assert isinstance(dec, TrackingPose)
         preds = dec.batch_fields(outs)
         assert len(preds) == 2
+
+
+class TestSequenceSegmentation(TestTrackingPose):
+    """TrackingPose must drop track memory at sequence boundaries: an
+    independent eval pair's current frame must never be associated
+    against the previous item's poses (a different image)."""
+
+    def test_new_sequence_resets_tracks(self):
+        dec = self.make_decoder()
+        kp1, scales = synthetic_pose()
+        kp2 = kp1.copy()
+        kp2[:, 0] += 6.0
+
+        anns_a = dec(self.pair_fields(kp1, kp2, scales),
+                     meta={'sequence_id': 'img0'})
+        assert len(anns_a) == 1
+        frame_number_after_a = dec.frame_number
+
+        # same pair again as a NEW sequence: fresh track ids, fresh state
+        anns_b = dec(self.pair_fields(kp1, kp2, scales),
+                     meta={'sequence_id': 'img1'})
+        assert len(anns_b) == 1
+        assert anns_b[0].id_ != anns_a[0].id_      # ids unique across seqs
+        assert dec.frame_number <= frame_number_after_a
+
+        # same sequence continuing: id persists
+        anns_c = dec(self.pair_fields(kp2, kp2, scales),
+                     meta={'sequence_id': 'img1'})
+        assert len(anns_c) == 1
+        assert anns_c[0].id_ == anns_b[0].id_
