@@ -52,7 +52,12 @@ class CifHrConfig:
     # activates ~16 cells), so a generous budget is exact in practice —
     # 1024 cells covers ~64 instances per keypoint type.  0 disables
     # (exact dense path); excess active cells drop weakest-first.
+    # Engages only when H*W > compaction_ratio * max_active: the top-k
+    # sort + gathers cost more than the einsum they save at small ratios
+    # (measured on a v5e at 641px/n=1681: compaction +0.86 ms/img vs the
+    # exact dense splat).
     max_active: int = 1024
+    compaction_ratio: float = 2.0
     # Alternative fused TPU kernel (pallas_cif_hr.py).  Measured on a
     # v5e: the XLA einsum path runs near the HBM roofline (~1.8 ms for a
     # batch-8 641px splat) and beats the Mosaic-compiled kernel (~16 ms,
@@ -100,7 +105,7 @@ def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
                         config.sigma_factor * scale_px).reshape(f, n)
 
     n_dropped = jnp.zeros((), jnp.int32)
-    if config.max_active and config.max_active < n:
+    if config.max_active and n > config.compaction_ratio * config.max_active:
         from .common import masked_top_k  # local: avoid import cycle
 
         _, idx, valid = masked_top_k(conf.reshape(f, n), mask.reshape(f, n),
