@@ -88,7 +88,7 @@ print('caf candidates per direction:', int(cand.valid[0, 0].sum()),
 # equivalent of the reference's priority-queue pop), K-1 fixed rounds.
 growth_config = growth.GrowthConfig(max_poses=8)
 edges = growth.directed_edges(skeleton)
-poses, placed, pose_valid, seed_v, _ = growth.init_poses(
+poses, placed, pose_valid, seed_v, _, seed_f = growth.init_poses(
     s, n_keypoints=F, config=growth_config)
 poses, placed = growth.grow(poses, placed, pose_valid, cand, edges,
                             growth_config)

@@ -88,14 +88,17 @@ def directed_edges(skeleton: np.ndarray) -> DirectedEdges:
 def init_poses(seeds: Seeds, *, n_keypoints: int,
                config: GrowthConfig) -> Tuple[jnp.ndarray, jnp.ndarray,
                                               jnp.ndarray, jnp.ndarray,
-                                              jnp.ndarray]:
+                                              jnp.ndarray, jnp.ndarray]:
     """Seed dedup + pose initialization.
 
     Approximates the reference's occupancy check at seed consumption
     (``cifcaf.cpp:~140``): a seed is suppressed when a stronger seed of the
-    same field lies within its dedup radius.  Returns
+    same field lies within its dedup radius (the exact cross-pose part of
+    that check runs post-growth, ``nms.seed_claim_suppression``).  Returns
     (poses (P,K,4) [x,y,v,scale], placed (P,K), pose_valid (P,), seed_v (P,),
-    n_dropped () int32 — surviving seeds beyond the max_poses budget).
+    n_dropped () int32 — surviving seeds beyond the max_poses budget —
+    and seed_f (P,) int32, each slot's seed keypoint field).  Slots are in
+    seed consumption order (descending seed value).
     """
     s = seeds.v.shape[0]
     r = jnp.maximum(config.seed_dedup_radius,
@@ -129,7 +132,8 @@ def init_poses(seeds: Seeds, *, n_keypoints: int,
         0, jnp.sum(keep, dtype=jnp.int32) - jnp.sum(sel_valid,
                                                     dtype=jnp.int32))
     return (poses, placed, sel_valid,
-            jnp.where(sel_valid, seeds.v[order], 0.0), n_dropped)
+            jnp.where(sel_valid, seeds.v[order], 0.0), n_dropped,
+            jnp.where(sel_valid, f, n_keypoints).astype(jnp.int32))
 
 
 def _dirviews(cand: CafCandidates, edges: DirectedEdges):

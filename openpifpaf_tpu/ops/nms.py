@@ -22,6 +22,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,10 +37,19 @@ class NMSConfig:
     min_joints: int = 1
     # Whole-pose suppression: if at least this fraction of a pose's joints
     # is claimed by better poses, the pose is a duplicate and dies entirely.
-    # This is the parallel-decode equivalent of the reference's seed-time
-    # occupancy check (cifcaf.cpp:~140): a seed inside an already-claimed
-    # region never grows a pose at all.
-    dedup_fraction: float = 0.5
+    # Superseded by the exact seed-claim suppression below (default off,
+    # i.e. >= 1.0); kept as a knob for decoders without seed provenance.
+    dedup_fraction: float = 1.0
+    # Exact parallel equivalent of the reference's seed-time occupancy
+    # check (cifcaf.cpp:~140 + occupancy.cpp:~15): in sequential decode a
+    # seed is skipped when an earlier (stronger-seeded, fully grown) pose
+    # already claimed the seed's field at its location.  Because placed
+    # joints never move and poses grow independently of each other, the
+    # exact sequential outcome is computable *after* parallel growth as a
+    # fixpoint over the seed-order DAG — see :func:`seed_claim_suppression`.
+    seed_suppression: bool = True
+    occupancy_reduction: float = 2.0  # reference Occupancy grid reduction
+    occupancy_min_scale: float = 4.0  # reference Occupancy minimum radius
 
 
 def pose_scores(joint_v: jnp.ndarray, score_weights: jnp.ndarray) -> jnp.ndarray:
@@ -50,6 +60,80 @@ def pose_scores(joint_v: jnp.ndarray, score_weights: jnp.ndarray) -> jnp.ndarray
     v_sorted = -jnp.sort(-joint_v, axis=-1)
     w = score_weights / jnp.maximum(1e-8, score_weights.sum())
     return v_sorted @ w
+
+
+def seed_claim_suppression(poses: jnp.ndarray, placed: jnp.ndarray,
+                           pose_valid: jnp.ndarray, seed_f: jnp.ndarray, *,
+                           image_hw, config: NMSConfig) -> jnp.ndarray:
+    """Exact seed-time occupancy suppression, computed post-growth.
+
+    Reference semantics (``cifcaf.cpp:~140``): seeds are consumed in
+    descending score order; a seed of field ``f`` at ``(x, y)`` is skipped
+    when the occupancy grid — a per-field byte grid at ``reduction``
+    resolution where every *previously grown* pose claimed a
+    ``max(min_scale, joint_scale)``-sized square around each placed joint
+    (``occupancy.cpp:~15``) — is set at ``(f, x, y)``.  Sequential decode
+    fully grows pose ``i`` before seed ``i+1`` is tested, and growth of a
+    pose depends only on its own seed, so suppression is decidable from
+    the *final* grown poses: ``alive(p) = valid(p) and no earlier alive
+    pose q claimed field(p) at seed(p)`` — a fixpoint over the strict
+    seed-order DAG, solved here by restart rounds (provably convergent,
+    same argument as :func:`keypoint_nms`).
+
+    The quantized geometry (grid rounding, clipping) mirrors the oracle
+    ``Occupancy`` bit for bit so the drift harness measures scheduling
+    only.  ``poses`` slots must be in seed consumption order (descending
+    seed value — ``growth.init_poses`` guarantees this).
+
+    :param seed_f: (P,) int32 seed keypoint field per pose slot
+        (out-of-range for invalid slots).
+    :returns: (P,) bool — True where the pose survives.
+    """
+    p, k = placed.shape
+    red = config.occupancy_reduction
+    gh = int(np.ceil(image_hw[0] / red)) + 1
+    gw = int(np.ceil(image_hw[1] / red)) + 1
+
+    rows = jnp.arange(p)
+    sf = jnp.clip(seed_f, 0, k - 1)
+    # seed positions: the seed joint never moves during growth
+    sx = poses[rows, sf, 0]
+    sy = poses[rows, sf, 1]
+    # query cell of each seed (oracle Occupancy.get quantization)
+    qx = jnp.clip(jnp.round(sx / red), 0, gw - 1)
+    qy = jnp.clip(jnp.round(sy / red), 0, gh - 1)
+
+    # claimant geometry: pose q's joint of field sf[p] -> (Pq, Pp)
+    cx = poses[:, sf, 0]
+    cy = poses[:, sf, 1]
+    cs = poses[:, sf, 3]
+    c_placed = placed[:, sf]
+    r = jnp.maximum(config.occupancy_min_scale, cs) / red
+    xg = cx / red
+    yg = cy / red
+    x0 = jnp.clip(jnp.round(xg - r), 0, gw - 1)
+    x1 = jnp.clip(jnp.round(xg + r), 0, gw - 1)
+    y0 = jnp.clip(jnp.round(yg - r), 0, gh - 1)
+    y1 = jnp.clip(jnp.round(yg + r), 0, gh - 1)
+    inside = ((x0 <= qx[None, :]) & (qx[None, :] <= x1)
+              & (y0 <= qy[None, :]) & (qy[None, :] <= y1))
+    earlier = rows[:, None] < rows[None, :]
+    claims = (inside & c_placed & earlier
+              & pose_valid[:, None] & pose_valid[None, :])   # (q, p)
+
+    def cond(state):
+        i, _, converged = state
+        return (i < p) & ~converged
+
+    def body(state):
+        i, alive, _ = state
+        new = pose_valid & ~jnp.any(claims & alive[:, None], axis=0)
+        return i + 1, new, jnp.all(new == alive)
+
+    _, alive, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), pose_valid,
+                     jnp.zeros((), bool)))
+    return alive
 
 
 def keypoint_nms(poses: jnp.ndarray, pose_valid: jnp.ndarray,

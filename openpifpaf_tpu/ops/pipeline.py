@@ -127,15 +127,24 @@ def decode_front_end(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
 
 def finalize_poses(poses: jnp.ndarray, placed: jnp.ndarray,
                    pose_valid: jnp.ndarray, scale_px: jnp.ndarray, *,
-                   score_weights, config: CifCafConfig):
+                   score_weights, config: CifCafConfig,
+                   seed_f: jnp.ndarray = None):
     """Joint-scale refinement + keypoint NMS + instance scoring.
 
     The tail of ``CifCaf::call`` (reference runs NMSKeypoints after the
     seed loop, ``cifcaf.cpp:~180``).  Shared by the production decode and
     the oracle path of the drift harness so both are scored identically.
+    ``seed_f`` (P,) enables the exact seed-time occupancy suppression
+    (``nms.seed_claim_suppression``) — pass it from the parallel path;
+    the sequential oracle already applied occupancy during decode and
+    passes None.
     Returns (poses_out (P,K,4), joint_scales (P,K), scores (P,), valid (P,)).
     """
     fk = poses.shape[1]
+    if seed_f is not None and config.nms.seed_suppression:
+        pose_valid = nms.seed_claim_suppression(
+            poses, placed, pose_valid, seed_f,
+            image_hw=config.image_hw, config=config.nms)
     # group by keypoint field: transpose (P, K) -> (K, P)
     js_cif = gather_field_grouped(
         scale_px, jnp.arange(fk, dtype=jnp.int32),
@@ -170,15 +179,15 @@ def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
 
     # 4) parallel frontier growth
     edges = growth.directed_edges(skeleton)
-    poses, placed, pose_valid, _, n_dropped_poses = growth.init_poses(
+    poses, placed, pose_valid, _, n_dropped_poses, seed_f = growth.init_poses(
         fe.sds, n_keypoints=fk, config=config.growth)
     poses, placed = growth.grow(poses, placed, pose_valid, fe.cands, edges,
                                 config.growth, force_cand=fe.cands_fc)
 
-    # 5-6) joint scale refinement + keypoint NMS + instance filtering
+    # 5-6) seed occupancy + joint scale refinement + keypoint NMS
     poses_out, joint_scales, scores, valid = finalize_poses(
         poses, placed, pose_valid, fe.scale_px,
-        score_weights=score_weights, config=config)
+        score_weights=score_weights, config=config, seed_f=seed_f)
     n_dropped_cif = fe.n_dropped_cif
     n_dropped_caf = fe.n_dropped_caf
 

@@ -129,14 +129,14 @@ class Harness:
 
         @jax.jit
         def back(fe):
-            poses, placed, pose_valid, _, _ = growth.init_poses(
+            poses, placed, pose_valid, _, _, seed_f = growth.init_poses(
                 fe.sds, n_keypoints=17, config=cfg.growth)
             poses, placed = growth.grow(poses, placed, pose_valid, fe.cands,
                                         edges, cfg.growth,
                                         force_cand=fe.cands_fc)
             return pipeline.finalize_poses(
                 poses, placed, pose_valid, fe.scale_px,
-                score_weights=SCORE_WEIGHTS, config=cfg)
+                score_weights=SCORE_WEIGHTS, config=cfg, seed_f=seed_f)
 
         @jax.jit
         def finalize(poses, placed, pose_valid, scale_px):

@@ -140,6 +140,82 @@ def test_random_scenes_match_sequential(seed):
     np.testing.assert_array_equal(got, want)
 
 
+class TestSeedClaimSuppression:
+    """The post-growth fixpoint must equal the oracle's sequential
+    seed-time occupancy walk (``sequential_oracle.Occupancy``) exactly,
+    including the grid quantization and suppression chains (a pose whose
+    seed was claimed never claims anything itself)."""
+
+    IMAGE_HW = (321, 321)
+
+    @staticmethod
+    def sequential_alive(poses, placed, valid, seed_f):
+        from openpifpaf_tpu.ops.sequential_oracle import Occupancy
+
+        p, k = placed.shape
+        occ = Occupancy(k, TestSeedClaimSuppression.IMAGE_HW)
+        alive = np.zeros(p, bool)
+        for pi in range(p):          # slots are already in seed order
+            if not valid[pi]:
+                continue
+            f = int(seed_f[pi])
+            if occ.get(f, float(poses[pi, f, 0]), float(poses[pi, f, 1])):
+                continue
+            alive[pi] = True
+            for ki in range(k):
+                if placed[pi, ki]:
+                    occ.set(ki, float(poses[pi, ki, 0]),
+                            float(poses[pi, ki, 1]), float(poses[pi, ki, 3]))
+        return alive
+
+    @pytest.mark.parametrize('seed', range(20))
+    def test_random_matches_sequential(self, seed):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        p, k = int(rng.integers(2, 32)), 5
+        poses = np.zeros((p, k, 4), np.float32)
+        # crowded coordinates force overlapping claims and chains
+        poses[..., 0] = rng.uniform(0, 60, (p, k))
+        poses[..., 1] = rng.uniform(0, 60, (p, k))
+        poses[..., 2] = rng.uniform(0.1, 1.0, (p, k))
+        poses[..., 3] = rng.uniform(1.0, 12.0, (p, k))
+        placed = rng.uniform(size=(p, k)) < 0.7
+        valid = rng.uniform(size=p) < 0.9
+        seed_f = rng.integers(0, k, size=p).astype(np.int32)
+        for pi in range(p):          # the seed joint is always placed
+            placed[pi, seed_f[pi]] = True
+        placed &= valid[:, None]
+
+        got = np.asarray(nms.seed_claim_suppression(
+            jnp.asarray(poses), jnp.asarray(placed), jnp.asarray(valid),
+            jnp.asarray(seed_f), image_hw=self.IMAGE_HW,
+            config=nms.NMSConfig()))
+        want = self.sequential_alive(poses, placed, valid, seed_f)
+        np.testing.assert_array_equal(got, want)
+
+    def test_chain_revival(self):
+        """A claims B's seed; B (dead) must not claim C's seed."""
+        import jax.numpy as jnp
+
+        k = 1
+        poses = np.zeros((3, k, 4), np.float32)
+        poses[:, 0, 0] = (0.0, 3.0, 9.0)   # x; grid reduction 2, radius 4
+        poses[:, 0, 1] = 50.0
+        poses[:, 0, 2] = (0.9, 0.8, 0.7)
+        poses[:, 0, 3] = 1.0               # radius = max(4, 1) = 4
+        placed = np.ones((3, k), bool)
+        valid = np.ones(3, bool)
+        seed_f = np.zeros(3, np.int32)
+        got = np.asarray(nms.seed_claim_suppression(
+            jnp.asarray(poses), jnp.asarray(placed), jnp.asarray(valid),
+            jnp.asarray(seed_f), image_hw=self.IMAGE_HW,
+            config=nms.NMSConfig()))
+        want = self.sequential_alive(poses, placed, valid, seed_f)
+        np.testing.assert_array_equal(got, want)
+        assert got.tolist() == [True, False, True]
+
+
 def test_iteration_cap_can_miss_deep_chains():
     """Documents why the default is run-to-convergence: a 1-round cap
     reproduces the old fixed-depth behavior and kills C."""

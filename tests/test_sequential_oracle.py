@@ -41,21 +41,25 @@ def intermediates(cif, caf, image_hw):
     return sds, cands, skeleton
 
 
-def grow_parallel(sds, cands, skeleton, config):
-    """Parallel growth + the production NMS (which collapses the duplicate
-    poses that the oracle's occupancy suppresses at seed-consumption time)."""
+def grow_parallel(sds, cands, skeleton, config, image_hw=(321, 321)):
+    """Parallel growth + seed-claim suppression + the production NMS —
+    the exact counterpart of the oracle's seed-time occupancy check."""
     import jax.numpy as jnp
 
     edges = growth.directed_edges(skeleton)
-    poses, placed, pose_valid, _, _ = growth.init_poses(
+    poses, placed, pose_valid, _, _, seed_f = growth.init_poses(
         sds, n_keypoints=17, config=config)
     poses, placed = growth.grow(poses, placed, pose_valid, cands, edges,
                                 config)
+    nms_config = nms.NMSConfig()
+    pose_valid = nms.seed_claim_suppression(
+        poses, placed, pose_valid, seed_f, image_hw=image_hw,
+        config=nms_config)
     poses = poses.at[..., 2].set(
         jnp.where(placed, poses[..., 2], 0.0))
     joint_scales = jnp.where(placed, poses[..., 3], 0.0)
     poses_out, _, valid = nms.keypoint_nms(
-        poses, pose_valid, joint_scales, jnp.ones(17), nms.NMSConfig())
+        poses, pose_valid, joint_scales, jnp.ones(17), nms_config)
     poses_out = np.asarray(poses_out)
     valid = np.asarray(valid)
     return [poses_out[p] for p in range(poses_out.shape[0]) if valid[p]]

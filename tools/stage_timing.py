@@ -138,17 +138,17 @@ def main():
 
     def growth_stage(operands):
         sds, cands = operands
-        poses, placed, pose_valid, _, _ = growth.init_poses(
+        poses, placed, pose_valid, _, _, seed_f = growth.init_poses(
             sds, n_keypoints=17, config=config.growth)
         poses, placed = growth.grow(poses, placed, pose_valid, cands,
                                     edges, config.growth)
-        return poses, placed, pose_valid
+        return poses, placed, pose_valid, seed_f
 
     def nms_stage(operands):
-        (poses, placed, pose_valid), scale_px = operands
+        (poses, placed, pose_valid, seed_f), scale_px = operands
         return pipeline.finalize_poses(poses, placed, pose_valid, scale_px,
                                        score_weights=score_weights,
-                                       config=config)
+                                       config=config, seed_f=seed_f)
 
     def decode_stage(operands):
         cif_field, caf_field = operands
@@ -215,8 +215,8 @@ def main():
         return sds._replace(v=sds.v + d), cands
 
     def inject_grown(x, d):
-        (poses, placed, pose_valid), scale_px = x
-        return (poses + d, placed, pose_valid), scale_px
+        (poses, placed, pose_valid, seed_f), scale_px = x
+        return (poses + d, placed, pose_valid, seed_f), scale_px
 
     stages = [
         ('forward', lambda x, c: ((lambda f: (f, f[0].sum().astype(
