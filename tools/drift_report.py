@@ -70,9 +70,9 @@ def main():
             'decoders consume the identical\njitted front-end '
             '(`ops.pipeline.decode_front_end`) and identical finalize\n'
             '(`ops.pipeline.finalize_poses`); every deviation below is '
-            'growth *scheduling*\n(parallel frontier + seed dedup + NMS '
-            'dedup_fraction vs the reference\'s\nsequential seed loop + '
-            'occupancy grid, `cifcaf.cpp:~140`). Poses matched by\n'
+            'growth *scheduling*\n(parallel frontier + seed dedup + exact '
+            'seed-claim suppression vs the reference\'s\nsequential seed '
+            'loop + occupancy grid, `cifcaf.cpp:~140`). Poses matched by\n'
             'OKS >= 0.5 greedily in oracle score order.\n\n')
         f.write(f'- scenes: {overall["n_scenes"]}, force_complete: '
                 f'{args.force_complete}\n')
