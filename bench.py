@@ -158,7 +158,7 @@ def main():
     @jax.jit
     def predict_step(variables, images, carry):
         images = images + carry * 1e-6     # data dependence on previous call
-        fields = model.module.apply(variables, images, train=False)
+        fields = model.apply_fast(variables, images)
         decoded = decode(fields[0], fields[1])
         new_carry = decoded.scores.sum().astype(jnp.float32) \
             + decoded.xyv.sum().astype(jnp.float32) * 1e-3
@@ -167,7 +167,7 @@ def main():
     @jax.jit
     def forward_step(variables, images, carry):
         images = images + carry * 1e-6
-        fields = model.module.apply(variables, images, train=False)
+        fields = model.apply_fast(variables, images)
         new_carry = fields[0].sum().astype(jnp.float32)
         return fields, new_carry
 

@@ -1,0 +1,165 @@
+"""Fused inference forward for ShuffleNetV2K: routing as MXU matmuls.
+
+Reference parity: identical math to ``shufflenetv2k.py`` /
+``src/openpifpaf/network/basenetworks.py:~200`` — this is a pure
+*execution-plan* rewrite for inference, consuming the canonical parameter
+tree unchanged.
+
+TPU-first rationale (measured on a v5e, ``tools/exp_ops2.py``): the
+ShuffleNetV2 block's channel routing — ``split`` into halves, ``concat``,
+``channel_shuffle`` — are relayouts on the lane (channel) axis at
+non-128-aligned widths (174/348/...).  XLA materializes each as its own
+HBM round-trip, and a 4-block stage runs ~2x slower than its convs alone.
+Every routing op is a fixed 0/1 channel permutation, and permutations
+commute with the elementwise ops (BN, relu), so they fold into the 1x1
+convolutions' weight matrices: the split feeding ``branch2_conv1`` widens
+its kernel with zero rows, and ``shuffle(concat(x1, b2))`` becomes two
+sparse matmuls summed (``x @ Px + b2 @ Po``).  The extra MXU FLOPs are
+~3x the baseline's, but the MXU is <7% utilized while HBM is the
+bottleneck — measured net effect: stage-2-shaped 4-block chain
+1.96 -> 1.05 ms/img (1.9x).
+
+Exactness: the folded matrices contain only 0.0 and 1.0; matmul rows that
+route a value compute ``v * 1.0 + sum-of-exact-zeros``, so outputs agree
+with the baseline path to bf16 rounding of the shared nonzero products
+(bit-equal in f32; see ``tests/test_fused_shufflenet.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .shufflenetv2k import ShuffleNetV2K
+
+
+@functools.lru_cache(maxsize=32)
+def _routing_matrices(c: int):
+    """Px (C, C), Pe/Po (C/2, C) as numpy 0/1 matrices for width ``c``.
+
+    ``channel_shuffle(concat(a, b), 2)[j] = (a if j even else b)[j // 2]``,
+    so with ``out = a @ Pe + b @ Po``: ``Pe[i, 2i] = 1``, ``Po[i, 2i+1] = 1``.
+    ``Px`` routes the first half of a full-width tensor to even outputs
+    (the stride-1 block's passthrough half).
+    """
+    half = c // 2
+    pe = np.zeros((half, c), np.float32)
+    po = np.zeros((half, c), np.float32)
+    pe[np.arange(half), 2 * np.arange(half)] = 1.0
+    po[np.arange(half), 2 * np.arange(half) + 1] = 1.0
+    px = np.zeros((c, c), np.float32)
+    px[np.arange(half), 2 * np.arange(half)] = 1.0
+    return px, pe, po
+
+
+def _bn(params, stats, x, dtype):
+    """Inference BatchNorm with flax numerics (momentum irrelevant here)."""
+    return nn.BatchNorm(
+        use_running_average=True, epsilon=1e-5, dtype=dtype,
+        param_dtype=jnp.float32).apply(
+            {'params': params, 'batch_stats': stats}, x)
+
+
+def _dw(x, kernel, stride, dtype):
+    k = kernel.astype(dtype)
+    pad = (k.shape[0] // 2, k.shape[0] // 2)
+    return jax.lax.conv_general_dilated(
+        x, k, (stride, stride), (pad, pad),
+        feature_group_count=x.shape[-1],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def _mm(x, w, dtype):
+    return x @ w.astype(dtype)
+
+
+def _kernel2d(p):
+    """(1, 1, Cin, Cout) conv kernel -> (Cin, Cout) matmul weight."""
+    return p['kernel'][0, 0]
+
+
+def _block_stride1(x, p, s, dtype):
+    """Stride-1 InvertedResidualK with folded routing.  x: (..., C)."""
+    c = x.shape[-1]
+    half = c // 2
+    px, _, po = _routing_matrices(c)
+    w1 = _kernel2d(p['branch2_conv1'])                   # (half, half)
+    w1pad = jnp.concatenate([jnp.zeros_like(w1), w1], axis=0)  # select x2
+    b2 = _mm(x, w1pad, dtype)
+    b2 = nn.relu(_bn(p['branch2_norm1'], s['branch2_norm1'], b2, dtype))
+    b2 = _dw(b2, p['branch2_dwconv']['kernel'], 1, dtype)
+    b2 = _bn(p['branch2_dwnorm'], s['branch2_dwnorm'], b2, dtype)
+    b2 = _mm(b2, _kernel2d(p['branch2_conv2']), dtype)
+    b2 = nn.relu(_bn(p['branch2_norm2'], s['branch2_norm2'], b2, dtype))
+    del half
+    return _mm(x, jnp.asarray(px), dtype) + _mm(b2, jnp.asarray(po), dtype)
+
+
+def _block_stride2(x, p, s, stride, dtype):
+    """Stride-2 InvertedResidualK with the concat+shuffle folded."""
+    b1 = _dw(x, p['branch1_dwconv']['kernel'], stride, dtype)
+    b1 = _bn(p['branch1_dwnorm'], s['branch1_dwnorm'], b1, dtype)
+    b1 = _mm(b1, _kernel2d(p['branch1_conv']), dtype)
+    b1 = nn.relu(_bn(p['branch1_norm'], s['branch1_norm'], b1, dtype))
+
+    b2 = _mm(x, _kernel2d(p['branch2_conv1']), dtype)
+    b2 = nn.relu(_bn(p['branch2_norm1'], s['branch2_norm1'], b2, dtype))
+    b2 = _dw(b2, p['branch2_dwconv']['kernel'], stride, dtype)
+    b2 = _bn(p['branch2_dwnorm'], s['branch2_dwnorm'], b2, dtype)
+    b2 = _mm(b2, _kernel2d(p['branch2_conv2']), dtype)
+    b2 = nn.relu(_bn(p['branch2_norm2'], s['branch2_norm2'], b2, dtype))
+
+    c = 2 * b1.shape[-1]
+    _, pe, po = _routing_matrices(c)
+    return _mm(b1, jnp.asarray(pe), dtype) + _mm(b2, jnp.asarray(po), dtype)
+
+
+def supports(module) -> bool:
+    """The fused plan covers batchnorm ShuffleNetV2K backbones."""
+    return isinstance(module, ShuffleNetV2K) and module.norm == 'batchnorm'
+
+
+def backbone_apply(module: ShuffleNetV2K, variables, x: jnp.ndarray,
+                   prefix: str = 'basenet') -> jnp.ndarray:
+    """Inference forward of the backbone from the canonical variables."""
+    p = variables['params'][prefix]
+    s = variables['batch_stats'][prefix]
+    dtype = module.dtype
+
+    x = x.astype(dtype)
+    k1 = p['conv1']['kernel'].astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x, k1, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    x = nn.relu(_bn(p['conv1_norm'], s['conv1_norm'], x, dtype))
+
+    for stage_i, repeats in enumerate(module.stages_repeats, start=2):
+        x = _block_stride2(x, p[f'stage{stage_i}_0'], s[f'stage{stage_i}_0'],
+                           2, dtype)
+        for bi in range(1, repeats):
+            x = _block_stride1(x, p[f'stage{stage_i}_{bi}'],
+                               s[f'stage{stage_i}_{bi}'], dtype)
+
+    x = _mm(x, _kernel2d(p['conv5']), dtype)
+    x = nn.relu(_bn(p['conv5_norm'], s['conv5_norm'], x, dtype))
+    return x
+
+
+def shell_apply(model, variables, x: jnp.ndarray) -> List[jnp.ndarray]:
+    """Full inference forward: fused backbone + the unmodified flax heads.
+
+    Call via ``Model.apply_fast`` which falls back to the baseline flax
+    apply for unsupported backbones.
+    """
+    features = backbone_apply(model.module.basenet, variables, x)
+    outs = []
+    for i, head in enumerate(model.module.head_nets):
+        outs.append(head.apply(
+            {'params': variables['params'][f'head_nets_{i}']},
+            features, train=False))
+    return outs

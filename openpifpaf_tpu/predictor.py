@@ -83,7 +83,7 @@ class Predictor:
                     self.batch_size, n, n)
 
         self._forward = jax.jit(
-            lambda variables, x: model.module.apply(variables, x, train=False))
+            lambda variables, x: model.apply_fast(variables, x))
 
     @classmethod
     def cli(cls, parser: argparse.ArgumentParser) -> None:

@@ -111,8 +111,7 @@ class VideoProcessor:
             transforms.EVAL_TRANSFORM,
         ])
         self._forward = jax.jit(
-            lambda variables, x: model.module.apply(variables, x,
-                                                    train=False))
+            lambda variables, x: model.apply_fast(variables, x))
         if self.tracking:
             # cached-feature streaming (reference TrackingBase caches the
             # previous frame's features, network/tracking_base.py:~60):
