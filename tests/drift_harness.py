@@ -106,6 +106,99 @@ def random_scene(rng: np.random.Generator, n_poses: int):
 
 
 # ---------------------------------------------------------------------------
+# field-level realism noise (VERDICT r2 weak #2: clean synthetic fields are
+# necessary, not sufficient — trained fields are noisy, with near-threshold
+# seeds and spurious activations, exactly the regime where occupancy-order
+# scheduling bites)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FieldNoise:
+    """Perturbations applied to the raw painted fields.  Both decode paths
+    consume the identical noisy front-end, so the reported drift stays pure
+    scheduling — measured now under realistic candidate distributions."""
+
+    conf_logit_sigma: float = 0.7      # per-cell confidence jitter (logits)
+    peak_conf_range: tuple = (0.25, 1.0)   # per-joint peak confidence
+    offset_sigma: float = 0.15         # regression noise, feature-cell units
+    scale_lognorm_sigma: float = 0.25  # joint-scale multiplicative noise
+    spurious_blobs: int = 40           # fake CIF activations per scene
+    spurious_conf: tuple = (0.15, 0.6)     # their confidence range
+    spurious_caf: int = 40             # fake CAF cells per scene
+
+
+def _inv_sigmoid(p):
+    p = np.clip(p, 1e-6, 1 - 1e-6)
+    return np.log(p / (1 - p))
+
+
+def _inv_softplus(s):
+    return np.log(np.expm1(np.maximum(s, 1e-6)))
+
+
+def apply_field_noise(cif: np.ndarray, caf: np.ndarray,
+                      rng: np.random.Generator, noise: FieldNoise):
+    """In-place perturbation of raw (pre-activation) painted fields."""
+    h, w = cif.shape[-2:]
+    painted_cif = cif[:, 0] > -5.0
+    painted_caf = caf[:, 0] > -5.0
+
+    # per-joint peak confidence attenuation -> near-threshold seeds
+    lo, hi = noise.peak_conf_range
+    atten = _inv_sigmoid(rng.uniform(lo, hi, size=cif.shape[0]))
+    atten = np.minimum(0.0, atten - _inv_sigmoid(0.999))
+    cif[:, 0] += np.where(painted_cif, atten[:, None, None], 0.0)
+
+    # confidence jitter (painted cells only; background stays far below
+    # threshold by construction)
+    cif[:, 0] += np.where(
+        painted_cif, rng.normal(0.0, noise.conf_logit_sigma, painted_cif.shape),
+        0.0)
+    caf[:, 0] += np.where(
+        painted_caf, rng.normal(0.0, noise.conf_logit_sigma, painted_caf.shape),
+        0.0)
+
+    # offset regression noise (feature-cell units)
+    for ch in (1, 2):
+        cif[:, ch] += np.where(
+            painted_cif, rng.normal(0.0, noise.offset_sigma, painted_cif.shape),
+            0.0)
+    for ch in (1, 2, 3, 4):
+        caf[:, ch] += np.where(
+            painted_caf, rng.normal(0.0, noise.offset_sigma, painted_caf.shape),
+            0.0)
+
+    # joint-scale multiplicative noise (decode softplus, scale, re-encode)
+    sc = np.log1p(np.exp(np.minimum(cif[:, 4], 30.0)))
+    sc = sc * np.exp(rng.normal(0.0, noise.scale_lognorm_sigma, sc.shape))
+    cif[:, 4] = np.where(painted_cif, _inv_softplus(sc), cif[:, 4])
+
+    # spurious CIF blobs: plausible-looking fake activations
+    for _ in range(noise.spurious_blobs):
+        f = int(rng.integers(cif.shape[0]))
+        i, j = int(rng.integers(w)), int(rng.integers(h))
+        conf = float(rng.uniform(*noise.spurious_conf))
+        cif[f, 0, j, i] = _inv_sigmoid(conf)
+        cif[f, 1, j, i] = float(rng.uniform(-0.5, 0.5))
+        cif[f, 2, j, i] = float(rng.uniform(-0.5, 0.5))
+        cif[f, 3, j, i] = _inv_softplus(0.5)
+        cif[f, 4, j, i] = _inv_softplus(float(rng.uniform(0.3, 1.5)))
+
+    # spurious CAF cells: fake association evidence
+    for _ in range(noise.spurious_caf):
+        e = int(rng.integers(caf.shape[0]))
+        i, j = int(rng.integers(w)), int(rng.integers(h))
+        conf = float(rng.uniform(*noise.spurious_conf))
+        caf[e, 0, j, i] = _inv_sigmoid(conf)
+        for ch in (1, 2, 3, 4):
+            caf[e, ch, j, i] = float(rng.uniform(-3.0, 3.0))
+        caf[e, 5, j, i] = caf[e, 6, j, i] = _inv_softplus(0.5)
+        caf[e, 7, j, i] = caf[e, 8, j, i] = _inv_softplus(
+            float(rng.uniform(0.3, 1.5)))
+    return cif, caf
+
+
+# ---------------------------------------------------------------------------
 # decode paths
 # ---------------------------------------------------------------------------
 
@@ -148,10 +241,14 @@ class Harness:
         self._back = back
         self._finalize = finalize
 
-    def decode_both(self, scene):
+    def decode_both(self, scene, noise: FieldNoise = None,
+                    noise_rng: np.random.Generator = None):
         """scene: list of (kp, scales) -> (parallel poses, oracle poses),
         each a score-descending list of (xyv (17,3), score)."""
         cif, caf = build_fields(scene, h=GRID_HW[0], w=GRID_HW[1])
+        if noise is not None:
+            apply_field_noise(cif, caf, noise_rng or np.random.default_rng(0),
+                              noise)
         fe = self._front(cif, caf)
 
         p_poses, _, p_scores, p_valid = self._back(fe)
@@ -232,13 +329,15 @@ def scene_agreement(parallel, oracle, *, oks_match: float = 0.5):
     }
 
 
-def run_scenes(harness: Harness, seeds_and_densities):
+def run_scenes(harness: Harness, seeds_and_densities,
+               noise: FieldNoise = None):
     """[(seed, n_poses), ...] -> list of per-scene metrics dicts."""
     results = []
     for seed, n_poses in seeds_and_densities:
         rng = np.random.default_rng(seed)
         scene = random_scene(rng, n_poses)
-        parallel, oracle = harness.decode_both(scene)
+        parallel, oracle = harness.decode_both(scene, noise=noise,
+                                               noise_rng=rng)
         m = scene_agreement(parallel, oracle)
         m['seed'] = seed
         m['n_poses'] = n_poses

@@ -41,3 +41,16 @@ def test_densest_scene_not_degenerate(harness):
     assert r['n_oracle'] >= 20
     assert r['n_parallel'] >= 20
     assert r['f1'] >= 0.95, r
+
+
+def test_noisy_field_drift_within_budget(harness):
+    """Field-level realism noise: confidence jitter, offset/scale noise,
+    spurious blobs, near-threshold seeds (VERDICT r2 weak #2).  Scheduling
+    drift must stay within budget in the noisy-candidate regime too."""
+    noisy_jobs = [(4000 + i, n) for i, n in enumerate(DENSITIES)]
+    results = dh.run_scenes(harness, noisy_jobs, noise=dh.FieldNoise())
+    agg = dh.aggregate(results)
+    assert agg['detection_f1'] >= 0.97, agg
+    assert agg['mean_oks'] >= 0.98, agg
+    assert agg['mean_score_delta'] <= 0.02, agg
+    assert agg['mean_joint_agreement'] >= 0.97, agg

@@ -34,10 +34,15 @@ def main():
     parser.add_argument('--scenes', type=int, default=500)
     parser.add_argument('--out', default='DRIFT.md')
     parser.add_argument('--force-complete', action='store_true')
+    parser.add_argument('--noise', action='store_true',
+                        help='field-level realism noise (confidence jitter, '
+                             'offset/scale noise, spurious blobs, '
+                             'near-threshold seeds)')
     args = parser.parse_args()
 
     config = dh.harness_config(force_complete=args.force_complete)
     harness = dh.Harness(config)
+    noise = dh.FieldNoise() if args.noise else None
 
     rng = np.random.default_rng(20260819)
     jobs = [(int(rng.integers(2 ** 31)), int(rng.integers(5, 61)))
@@ -46,7 +51,7 @@ def main():
     t0 = time.perf_counter()
     results = []
     for i, job in enumerate(jobs):
-        results.extend(dh.run_scenes(harness, [job]))
+        results.extend(dh.run_scenes(harness, [job], noise=noise))
         if (i + 1) % 50 == 0:
             print(f'{i + 1}/{len(jobs)} scenes '
                   f'({time.perf_counter() - t0:.0f}s)', file=sys.stderr,
@@ -75,7 +80,9 @@ def main():
             'loop + occupancy grid, `cifcaf.cpp:~140`). Poses matched by\n'
             'OKS >= 0.5 greedily in oracle score order.\n\n')
         f.write(f'- scenes: {overall["n_scenes"]}, force_complete: '
-                f'{args.force_complete}\n')
+                f'{args.force_complete}, field_noise: {args.noise}\n')
+        if args.noise:
+            f.write(f'- noise spec: {noise}\n')
         f.write(f'- generated: seed 20260819, densities uniform 5-60\n\n')
         f.write('| density | scenes | oracle poses | parallel poses | '
                 'detection F1 | mean OKS | mean |score delta| | joint '
