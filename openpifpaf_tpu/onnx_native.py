@@ -431,6 +431,17 @@ class GraphBuilder:
                                attr_string('mode', 'CRD')))
         return out
 
+    def clip(self, x: str, lo: float, hi: float) -> str:
+        """Clip-13: min/max as inputs (relu6 = Clip(0, 6))."""
+        out = self.name('clip')
+        pre = out + '.'
+        self.nodes.append(node('Clip', [
+            x,
+            self.init_tensor(pre + 'min', np.float32(lo)),
+            self.init_tensor(pre + 'max', np.float32(hi)),
+        ], [out]))
+        return out
+
 
 def _require(condition, message):
     if not condition:
@@ -565,27 +576,126 @@ def _emit_resnet(g: GraphBuilder, basenet, params, stats, input_hw):
     return x, h, w
 
 
+def _emit_mobilenetv2(g: GraphBuilder, basenet, params, stats, input_hw):
+    """MobileNetV2 trunk (``models/mobilenet.py``) -> (tensor, h, w)."""
+
+    def bn(x, p, s, name):
+        if basenet.norm == 'batchnorm':
+            x = g.batchnorm(x, p, s, name)
+        return x
+
+    h, w = input_hw
+    x = g.conv('input', params['conv_stem']['kernel'], 'basenet.conv_stem',
+               strides=2, pads=1)
+    h, w = _conv_hw(h, 3, 1, 2), _conv_hw(w, 3, 1, 2)
+    x = g.clip(bn(x, params['stem_norm'], stats['stem_norm'],
+                  'basenet.stem_norm'), 0.0, 6.0)
+
+    channels_in = 32
+    block_i = 0
+    for t, c, n, s in basenet.config:
+        for i in range(n):
+            block = f'block{block_i}'
+            p = params[block]
+            st = stats.get(block, {})
+            stride = s if i == 0 else 1
+            y = x
+            if 'expand' in p:
+                y = g.conv(y, p['expand']['kernel'],
+                           f'basenet.{block}.expand')
+                y = g.clip(bn(y, p['expand_norm'], st.get('expand_norm'),
+                              f'basenet.{block}.expand_norm'), 0.0, 6.0)
+            expand_ch = t * channels_in
+            y = g.conv(y, p['dwconv']['kernel'], f'basenet.{block}.dwconv',
+                       strides=stride, pads=1, groups=expand_ch)
+            y = g.clip(bn(y, p['dw_norm'], st.get('dw_norm'),
+                          f'basenet.{block}.dw_norm'), 0.0, 6.0)
+            y = g.conv(y, p['project']['kernel'],
+                       f'basenet.{block}.project')
+            y = bn(y, p['project_norm'], st.get('project_norm'),
+                   f'basenet.{block}.project_norm')
+            if stride == 1 and channels_in == c:
+                y = g.add(y, x)
+            else:
+                h, w = _conv_hw(h, 3, 1, stride), _conv_hw(w, 3, 1, stride)
+            x = y
+            channels_in = c
+            block_i += 1
+
+    x = g.conv(x, params['conv_head']['kernel'], 'basenet.conv_head')
+    x = g.clip(bn(x, params['head_norm'], stats['head_norm'],
+                  'basenet.head_norm'), 0.0, 6.0)
+    return x, h, w
+
+
+def _emit_squeezenet(g: GraphBuilder, basenet, params, stats, input_hw):
+    """SqueezeNet 1.1 trunk (``models/squeezenet.py``) -> (tensor, h, w)."""
+    h, w = input_hw
+
+    def pool(x, h, w):
+        return (g.max_pool(x, 3, 2, 1),
+                _conv_hw(h, 3, 1, 2), _conv_hw(w, 3, 1, 2))
+
+    def fire(x, name):
+        p = params[name]
+        s = g.relu(g.conv(x, p['squeeze']['kernel'],
+                          f'basenet.{name}.squeeze',
+                          bias=p['squeeze']['bias']))
+        e1 = g.relu(g.conv(s, p['expand1x1']['kernel'],
+                           f'basenet.{name}.expand1x1',
+                           bias=p['expand1x1']['bias']))
+        e3 = g.relu(g.conv(s, p['expand3x3']['kernel'],
+                           f'basenet.{name}.expand3x3', pads=1,
+                           bias=p['expand3x3']['bias']))
+        out = g.concat_channels([e1, e3])
+        if basenet.norm == 'batchnorm':
+            out = g.batchnorm(out, p['norm'], stats[name]['norm'],
+                              f'basenet.{name}.norm')
+        return out
+
+    x = g.conv('input', params['conv1']['kernel'], 'basenet.conv1',
+               strides=2, pads=1, bias=params['conv1']['bias'])
+    h, w = _conv_hw(h, 3, 1, 2), _conv_hw(w, 3, 1, 2)
+    x = g.relu(x)
+    x, h, w = pool(x, h, w)
+    x = fire(x, 'fire2')
+    x = fire(x, 'fire3')
+    x, h, w = pool(x, h, w)
+    x = fire(x, 'fire4')
+    x = fire(x, 'fire5')
+    x, h, w = pool(x, h, w)
+    for name in ('fire6', 'fire7', 'fire8', 'fire9'):
+        x = fire(x, name)
+    return x, h, w
+
+
 def build_model_graph(model, *, input_hw=(641, 641)) -> bytes:
     """Serialize a Model (ShuffleNetV2/V2K or ResNet backbone +
     CompositeField4 heads) to ONNX bytes.  Input 'input': (1, 3, H, W)
     NCHW float32; one output per head named after its meta, shaped
     (1, F, C, H', W') like the flax forward."""
+    from .models.mobilenet import MobileNetV2
     from .models.resnet import ResNet
     from .models.shufflenetv2k import ShuffleNetV2K
+    from .models.squeezenet import SqueezeNet
 
+    emitters = ((ShuffleNetV2K, _emit_shufflenet), (ResNet, _emit_resnet),
+                (MobileNetV2, _emit_mobilenetv2),
+                (SqueezeNet, _emit_squeezenet))
     basenet = model.module.basenet
-    _require(isinstance(basenet, (ShuffleNetV2K, ResNet)),
-             f'ONNX export supports the ShuffleNetV2/V2K and ResNet '
-             f'families; got {type(basenet).__name__}. Use '
-             f'export_stablehlo for the portable native artifact.')
+    emit = next((fn for cls, fn in emitters if isinstance(basenet, cls)),
+                None)
+    _require(emit is not None,
+             f'ONNX export supports the ShuffleNetV2/V2K, ResNet, '
+             f'MobileNetV2 and SqueezeNet families; got '
+             f'{type(basenet).__name__}. Use export_stablehlo for the '
+             f'portable native artifact.')
     _require(basenet.norm in ('batchnorm', 'none'),
              f'ONNX export supports batchnorm/none, got {basenet.norm!r}')
 
     params = model.variables['params']['basenet']
     stats = model.variables.get('batch_stats', {}).get('basenet', {})
     g = GraphBuilder()
-    emit = (_emit_shufflenet if isinstance(basenet, ShuffleNetV2K)
-            else _emit_resnet)
     x, h, w = emit(g, basenet, params, stats, input_hw)
 
     # heads

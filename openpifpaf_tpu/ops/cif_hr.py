@@ -64,6 +64,12 @@ class CifHrConfig:
     # transcendental-bound); the kernel is kept as the template for
     # spatially-sharded decode and future Mosaic tuning.
     use_pallas: bool = False
+    # bf16 Gaussian profiles: the (F, N, Hh)/(F, N, Wh) profile tensors
+    # dominate the splat's HBM traffic; bf16 halves them while the MXU
+    # still accumulates in f32 (preferred_element_type).  Max relative
+    # error ~2^-9 on blob values — far below every decode threshold (the
+    # reference's own splat uses an approximated exp, cif_hr.cpp utils).
+    profile_bf16: bool = True
 
 
 def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
@@ -145,6 +151,9 @@ def accumulate(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
 
     # fold the value into the row profile, then contract over cells on MXU
     gy = gy * v[:, :, None]
+    if config.profile_bf16:
+        gy = gy.astype(jnp.bfloat16)
+        gx = gx.astype(jnp.bfloat16)
     hr = jnp.einsum('fny,fnx->fyx', gy, gx,
                     preferred_element_type=jnp.float32)
     if clip:

@@ -402,27 +402,41 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
     def cond(state):
         return (state[2] < rounds) & state[3]
 
-    def run(poses, placed, body, reverse: bool, pass_cand: CafCandidates):
-        # seed the cache with one full pass over every currently-placed
-        # source (pass start: the seed joint, or — force-complete — the
-        # whole first-pass pose); rounds then update incrementally
-        full = _connection_values(poses, placed, pose_valid, pass_cand,
-                                  edges, config, reverse)
-        tables = tuple(
-            jnp.concatenate([t, jnp.zeros((p, 1), t.dtype)], axis=1)
-            for t in full)
-        no_new = jnp.zeros((p, k), bool)
+    def run(poses, placed, body, reverse: bool, pass_cand: CafCandidates,
+            seed_incremental: bool):
+        """``seed_incremental``: at first-pass start exactly one joint per
+        pose is placed (the seed), so the only computable connections are
+        its out-edges — start from an empty cache and let the first loop
+        round compute them through the incremental (P, m*D, C) path
+        instead of paying a full (P, Q, C) pass that masks ~Q/D of its
+        work to zero (same math, bit-equal results; measured ~0.9 ms/img
+        of the decode budget at the COCO bench shape).  The force-complete
+        second pass starts from fully-grown poses and keeps the full-pass
+        seeding."""
+        if seed_incremental:
+            tables = tuple(jnp.zeros((p, q_n + 1), jnp.float32)
+                           for _ in range(5))
+            new_onehot = placed
+        else:
+            full = _connection_values(poses, placed, pose_valid, pass_cand,
+                                      edges, config, reverse)
+            tables = tuple(
+                jnp.concatenate([t, jnp.zeros((p, 1), t.dtype)], axis=1)
+                for t in full)
+            new_onehot = jnp.zeros((p, k), bool)
         out = jax.lax.while_loop(
             cond, body, (poses, placed, jnp.zeros((), jnp.int32),
-                         jnp.ones((), bool), tables, no_new))
+                         jnp.ones((), bool), tables, new_onehot))
         return out[0], out[1]
 
     poses, placed = run(poses, placed,
                         make_body(kp_th, config.keypoint_threshold_rel,
-                                  rev, cand), rev, cand)
+                                  rev, cand), rev, cand,
+                        seed_incremental=True)
     if config.force_complete:
         fc_cand = force_cand if force_cand is not None else cand
         poses, placed = run(poses, placed,
                             make_body(config.force_complete_threshold,
-                                      0.0, False, fc_cand), False, fc_cand)
+                                      0.0, False, fc_cand), False, fc_cand,
+                            seed_incremental=False)
     return poses, placed

@@ -126,3 +126,68 @@ def dryrun_multichip(n_devices: int, *, image_hw=(64, 64),
     total = float(out[-2])
     LOG.info('dryrun step done: loss=%f devices=%d', total, n_devices)
     assert np.isfinite(total), total
+
+
+def dryrun_decode_sharded(n_devices: int) -> None:
+    """Compile + run the spatially-sharded decode front-end on a 1D mesh.
+
+    Covers the novel decode-sharding claim (``parallel/spatial.py``):
+    CifHr bands with ppermute halo composition + merged seed selection,
+    checked for exact agreement with the single-device dense ops.
+    """
+    from ..ops import cif_hr, seeds as seeds_mod
+    from . import spatial
+
+    devices = np.asarray(jax.devices()[:n_devices])
+    mesh = Mesh(devices.reshape(n_devices), ('spatial',))
+    LOG.info('decode dryrun mesh: %s', mesh)
+
+    f = 17
+    h = w = 2 * n_devices          # field rows divide into bands
+    stride, spacing = 16, 2
+    hh, wh = h * stride // spacing, w * stride // spacing
+
+    rng = np.random.default_rng(0)
+    conf = rng.uniform(0.0, 1.0, (f, h, w)).astype(np.float32)
+    jj, ii = np.mgrid[0:h, 0:w].astype(np.float32)
+    # offsets bounded to +-0.5 cells so offset (8px) + blob reach
+    # (truncate * sigma <= 4px) stays within the halo
+    off = lambda: np.clip(rng.normal(0, 0.3, (f, h, w)), -0.5, 0.5)  # noqa: E731
+    x_px = (ii[None] + off()) * stride
+    y_px = (jj[None] + off()) * stride
+    x_px = np.clip(x_px, 0, (wh - 1) * spacing).astype(np.float32)
+    y_px = np.clip(y_px, 0, (hh - 1) * spacing).astype(np.float32)
+    scale_px = rng.uniform(3.0, 8.0, (f, h, w)).astype(np.float32)
+
+    # neighbor_factor 1.0: isolated synthetic cells still peak near their
+    # confidence, so the seed threshold is exercised (real fields paint
+    # ~16-cell neighborhoods per keypoint)
+    hr_config = cif_hr.CifHrConfig(max_active=0, neighbor_factor=1.0)
+    sp_config = spatial.SpatialConfig(halo_px=16.0)
+    sharded = spatial.sharded_cif_hr(
+        jnp.asarray(conf), jnp.asarray(x_px), jnp.asarray(y_px),
+        jnp.asarray(scale_px), mesh=mesh, out_hw=(hh, wh),
+        config=hr_config, spatial=sp_config)
+    sds = spatial.sharded_seeds(
+        jnp.asarray(conf), jnp.asarray(x_px), jnp.asarray(y_px),
+        jnp.asarray(scale_px), sharded.hr, mesh=mesh, hr_spacing=spacing,
+        config=seeds_mod.SeedsConfig(max_seeds=64), spatial=sp_config)
+    jax.block_until_ready((sharded, sds))
+
+    # exactness vs the single-device dense ops (halo covers every blob)
+    oracle_hr = cif_hr.accumulate(
+        jnp.asarray(conf), jnp.asarray(x_px), jnp.asarray(y_px),
+        jnp.asarray(scale_px), out_hw=(hh, wh), config=hr_config)
+    np.testing.assert_allclose(np.asarray(sharded.hr),
+                               np.asarray(oracle_hr), rtol=1e-5, atol=1e-5)
+    oracle_sds = seeds_mod.select(
+        jnp.asarray(conf), jnp.asarray(x_px), jnp.asarray(y_px),
+        jnp.asarray(scale_px), oracle_hr, hr_spacing=spacing,
+        config=seeds_mod.SeedsConfig(max_seeds=64))
+    np.testing.assert_allclose(np.sort(np.asarray(sds.v)),
+                               np.sort(np.asarray(oracle_sds.v)),
+                               rtol=1e-5, atol=1e-5)
+    n_seeds = int(np.asarray(sds.valid).sum())
+    LOG.info('decode dryrun done: %d seeds, halo_overflow=%d, devices=%d',
+             n_seeds, int(sharded.halo_overflow), n_devices)
+    assert n_seeds > 0

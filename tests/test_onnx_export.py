@@ -63,6 +63,8 @@ def run_onnx(model_dict, inputs):
                    + bias[None, :, None, None])
         elif op == 'Relu':
             out = np.maximum(ins[0], 0.0)
+        elif op == 'Clip':
+            out = np.clip(ins[0], ins[1], ins[2])
         elif op == 'Add':
             out = ins[0] + ins[1]
         elif op == 'MaxPool':
@@ -165,8 +167,23 @@ def test_resnet_roundtrip_matches_flax_forward():
         np.testing.assert_allclose(gv, np.asarray(w), atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize('base', ['mobilenetv2', 'squeezenet'])
+def test_mobilenet_squeezenet_roundtrip(base):
+    hw = (49, 49)
+    model = build_model(base=base)
+    parsed = parse_model(build_model_graph(model, input_hw=hw))
+    rng = np.random.default_rng(0)
+    x_nchw = rng.normal(size=(1, 3, *hw)).astype(np.float32)
+    got = run_onnx(parsed, {'input': x_nchw})
+    want = model(x_nchw.transpose(0, 2, 3, 1))
+    for out_info, w in zip(parsed['outputs'], want):
+        gv = got[out_info['name']]
+        assert gv.shape == tuple(np.asarray(w).shape)
+        np.testing.assert_allclose(gv, np.asarray(w), atol=3e-4, rtol=1e-3)
+
+
 def test_unsupported_basenet_raises():
-    model = build_model(base='mobilenetv2')
+    model = build_model(base='mobilenetv3large')
     with pytest.raises(NotImplementedError, match='ShuffleNetV2'):
         build_model_graph(model, input_hw=(49, 49))
 

@@ -32,7 +32,8 @@ def test_matches_einsum_path(seed):
     conf, x_px, y_px, scale_px = synthetic_inputs(seed)
     f, h, w = conf.shape
     hh = wh = (h - 1) * 16 // 2 + 1
-    config = cif_hr.CifHrConfig(use_pallas=False)
+    # f32 profiles: the pallas kernel is compared against the exact path
+    config = cif_hr.CifHrConfig(use_pallas=False, profile_bf16=False)
 
     want = np.asarray(cif_hr.accumulate(
         jnp.asarray(conf), jnp.asarray(x_px), jnp.asarray(y_px),
@@ -78,11 +79,18 @@ class TestGatherFieldGroupedMXU:
         x = jnp.asarray(rng.uniform(-10, 340, size=(19, 21, 21)).astype(np.float32))
         y = jnp.asarray(rng.uniform(-10, 340, size=(19, 21, 21)).astype(np.float32))
 
-        got = common._gather_field_grouped_mxu(grids, group, x, y, 2.0)
+        got = common._gather_field_grouped_mxu(grids, group, x, y, 2.0,
+                                               bf16=False)
         fb = jnp.broadcast_to(group[:, None, None], x.shape)
         want = common.gather_field(grids, fb, x, y, 2.0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
+        # the bf16 production path: stencil rounding only (~2^-9 relative
+        # on unit-scale grids -> absolute here)
+        got16 = common._gather_field_grouped_mxu(grids, group, x, y, 2.0,
+                                                 bf16=True)
+        np.testing.assert_allclose(np.asarray(got16), np.asarray(want),
+                                   atol=0.05, rtol=0.02)
 
     def test_exact_grid_points(self):
         import jax.numpy as jnp
@@ -92,7 +100,8 @@ class TestGatherFieldGroupedMXU:
         group = jnp.asarray([1, 0], jnp.int32)
         x = jnp.asarray([[0.0, 6.0], [3.0, 2.5]])   # spacing 1
         y = jnp.asarray([[0.0, 4.0], [2.0, 1.5]])
-        got = common._gather_field_grouped_mxu(grids, group, x, y, 1.0)
+        got = common._gather_field_grouped_mxu(grids, group, x, y, 1.0,
+                                               bf16=False)
         fb = jnp.broadcast_to(group[:, None], x.shape)
         want = common.gather_field(grids, fb, x, y, 1.0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),

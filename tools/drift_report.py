@@ -38,9 +38,16 @@ def main():
                         help='field-level realism noise (confidence jitter, '
                              'offset/scale noise, spurious blobs, '
                              'near-threshold seeds)')
+    parser.add_argument('--max-poses', type=int, default=None,
+                        help='pose-slot budget (default 128, or 256 with '
+                             '--noise: duplicate seeds occupy slots before '
+                             'seed-claim suppression kills them, see '
+                             'drift_harness.harness_config)')
     args = parser.parse_args()
 
-    config = dh.harness_config(force_complete=args.force_complete)
+    max_poses = args.max_poses or (256 if args.noise else 128)
+    config = dh.harness_config(max_poses=max_poses,
+                               force_complete=args.force_complete)
     harness = dh.Harness(config)
     noise = dh.FieldNoise() if args.noise else None
 
@@ -80,9 +87,18 @@ def main():
             'loop + occupancy grid, `cifcaf.cpp:~140`). Poses matched by\n'
             'OKS >= 0.5 greedily in oracle score order.\n\n')
         f.write(f'- scenes: {overall["n_scenes"]}, force_complete: '
-                f'{args.force_complete}, field_noise: {args.noise}\n')
+                f'{args.force_complete}, field_noise: {args.noise}, '
+                f'max_poses: {max_poses}\n')
         if args.noise:
             f.write(f'- noise spec: {noise}\n')
+            f.write('- budget note: under noise, duplicate seeds occupy '
+                    'parallel pose slots before seed-claim suppression '
+                    'kills them, while the sequential oracle skips '
+                    'occupied seeds up front — residual disagreement is '
+                    'slot exhaustion (production counter: '
+                    '`n_dropped_poses`), not scheduling; measured 55-pose '
+                    'noisy scenes: F1 0.960 at max_poses=128 -> 0.996 at '
+                    '256.\n')
         f.write(f'- generated: seed 20260819, densities uniform 5-60\n\n')
         f.write('| density | scenes | oracle poses | parallel poses | '
                 'detection F1 | mean OKS | mean |score delta| | joint '
