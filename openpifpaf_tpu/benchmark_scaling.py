@@ -52,12 +52,20 @@ def main(argv=None) -> int:
         counts, image_hw=(args.image_size, args.image_size),
         batch_per_device=args.batch_per_device, basenet=args.basenet,
         n_iters=args.iters)
+    t1 = points[0].step_time_s if points else 0.0
     for p in points:
+        # sharding_overhead = t(n) / (n * t(1)) - 1: the cost of the
+        # collectives/partitioner over perfect time-multiplexing — the
+        # meaningful metric when virtual devices share one host (see
+        # SCALING.md); `efficiency` (t(1)/t(n)) is the real-hardware
+        # weak-scaling number.
+        overhead = (p.step_time_s / (p.n_devices * t1) - 1.0) if t1 else 0.0
         print(json.dumps({
             'devices': p.n_devices, 'global_batch': p.global_batch,
             'step_ms': round(p.step_time_s * 1000, 2),
             'images_per_s': round(p.images_per_s, 2),
             'efficiency': round(p.efficiency, 3),
+            'sharding_overhead': round(overhead, 3),
         }))
     if len(points) > 1:
         print(json.dumps({
