@@ -1,0 +1,253 @@
+"""Training-step benchmark with MFU (VERDICT r2 next-round item 4).
+
+BASELINE config 3: ShuffleNetV2k16 / ResNet-50 COCO keypoint training on
+one chip at the 641px eval resolution.  Methodology matches bench.py:
+
+- the step chain is *naturally* anti-memoization — each ``lax.scan``
+  iteration consumes the previous iteration's parameters and optimizer
+  state, so steps can neither be reordered nor served from a cache;
+- ``n_staged`` distinct (image, target) batches are staged on device;
+- the loss scalar is fetched to the host after every timed call;
+- MFU = XLA cost-analysis FLOPs of one jitted step / measured step time /
+  chip peak (bf16).
+
+Additionally measures the host input pipeline — the C++ CIF/CAF target
+encoders (``csrc/encoders.cpp``) on realistic multi-person annotations at
+the same resolution — and reports whether the host keeps up with the
+device step rate (reference pain point: per-image Python encoders in
+dataloader workers, ``src/openpifpaf/trainer.py:~150`` hot loop).
+
+Writes TRAINBENCH.json.  Run from the repo root on the TPU:
+
+    python tools/train_bench.py
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+_T0 = time.perf_counter()
+BATCH = 8
+IMAGE_HW = (641, 641)
+N_STAGED = 2
+N_INNER = 4
+N_CALLS = 4
+PEAK_BF16 = 197e12
+
+
+def log(msg):
+    print(f'[tb +{time.perf_counter() - _T0:7.1f}s] {msg}',
+          file=sys.stderr, flush=True)
+
+
+def build(basenet: str):
+    import jax
+
+    from openpifpaf_tpu import headmeta, losses, models
+    from openpifpaf_tpu.plugins.coco import constants
+
+    cif = headmeta.Cif('cif', 'cocokp', keypoints=constants.COCO_KEYPOINTS,
+                       sigmas=constants.COCO_PERSON_SIGMAS,
+                       score_weights=constants.COCO_PERSON_SCORE_WEIGHTS)
+    caf = headmeta.Caf('caf', 'cocokp', keypoints=constants.COCO_KEYPOINTS,
+                       sigmas=constants.COCO_PERSON_SIGMAS,
+                       skeleton=constants.COCO_PERSON_SKELETON)
+    factory = models.Factory(base_name=basenet, bf16=True)
+    model = factory.from_scratch(basenet, [cif, caf])
+    model.init(jax.random.key(0), input_hw=(65, 65))
+    loss_fn = losses.Factory().factory(model.head_metas)
+    return model, loss_fn
+
+
+def synthetic_annotations(rng, n_people: int):
+    from openpifpaf_tpu.plugins.coco import constants
+
+    anns = []
+    for _ in range(n_people):
+        scale = rng.uniform(20.0, 90.0)
+        cx = rng.uniform(60, IMAGE_HW[1] - 60)
+        cy = rng.uniform(60, IMAGE_HW[0] - 60)
+        pose = constants.COCO_UPRIGHT_POSE
+        kp = np.zeros((17, 3), np.float32)
+        kp[:, 0] = pose[:, 0] * scale / 4.0 + cx
+        kp[:, 1] = (5.0 - pose[:, 1] / 2.0) * scale / 4.0 + cy
+        kp[:, 2] = np.where(rng.uniform(size=17) < 0.85, 2.0, 0.0)
+        anns.append({'keypoints': kp, 'iscrowd': 0,
+                     'bbox_original': [0, 0, 50, 50]})
+    return anns
+
+
+def encoder_throughput(model):
+    """Host C++ encoder images/s on realistic multi-person scenes."""
+    from openpifpaf_tpu import encoder
+
+    encoders = encoder.factory(model.head_metas)
+    rng = np.random.default_rng(0)
+    scenes = [synthetic_annotations(rng, int(rng.integers(1, 8)))
+              for _ in range(24)]
+
+    class Ann:
+        def __init__(self, d):
+            self.keypoints = d['keypoints']
+            self.iscrowd = d['iscrowd']
+            self.fixed_bbox = None
+
+    meta = {'valid_area': (0, 0, IMAGE_HW[1] - 1, IMAGE_HW[0] - 1),
+            'width_height': (IMAGE_HW[1], IMAGE_HW[0])}
+    image = np.zeros((*IMAGE_HW, 3), np.float32)
+    # warmup (builds the native lib on first use)
+    for enc in encoders:
+        enc(image, [Ann(d) for d in scenes[0]], meta)
+    start = time.perf_counter()
+    n = 0
+    while time.perf_counter() - start < 3.0:
+        for scene in scenes:
+            anns = [Ann(d) for d in scene]
+            for enc in encoders:
+                enc(image, anns, meta)
+            n += 1
+    return n / (time.perf_counter() - start)
+
+
+def bench_model(basenet: str):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from openpifpaf_tpu.training.optimize import OptimizeFactory
+
+    log(f'{basenet}: building...')
+    model, loss_fn = build(basenet)
+
+    opt_factory = OptimizeFactory()
+    tx = opt_factory.optimizer(opt_factory.schedule(steps_per_epoch=100))
+    params = model.variables['params']
+    batch_stats = model.variables.get('batch_stats', {})
+    opt_state = tx.init({'params': params})
+
+    fh = (IMAGE_HW[0] - 1) // 16 + 1
+    fw = (IMAGE_HW[1] - 1) // 16 + 1
+    rng = np.random.default_rng(0)
+
+    def target_for(meta):
+        f, nv, ns = meta.n_fields, meta.n_vectors, meta.n_scales
+        conf = (rng.uniform(0, 1, (BATCH, f, fh, fw)) < 0.02).astype(
+            np.float32)
+        return {
+            'conf': conf,
+            'conf_mask': np.ones((BATCH, f, fh, fw), bool),
+            'vec': rng.normal(size=(BATCH, f, nv, 2, fh, fw)).astype(
+                np.float32),
+            'vec_mask': np.broadcast_to(
+                conf.astype(bool)[:, :, None], (BATCH, f, nv, fh, fw)),
+            'scale': np.abs(rng.normal(
+                2.0, 1.0, (BATCH, f, ns, fh, fw))).astype(np.float32),
+            'scale_mask': np.broadcast_to(
+                conf.astype(bool)[:, :, None], (BATCH, f, ns, fh, fw)),
+        }
+
+    staged = []
+    for _ in range(N_STAGED):
+        images = rng.normal(size=(BATCH, *IMAGE_HW, 3)).astype(np.float32)
+        targets = [target_for(m) for m in model.head_metas]
+        staged.append(jax.device_put((images, targets)))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(list(xs) * (
+        (N_INNER + N_STAGED - 1) // N_STAGED))[:N_INNER], *staged)
+
+    def train_step(params, batch_stats, opt_state, images, targets):
+        def loss_of(p):
+            variables = {'params': p}
+            if batch_stats:
+                variables['batch_stats'] = batch_stats
+                fields, mutated = model.apply(
+                    variables, images, train=True, mutable=['batch_stats'])
+                new_stats = mutated['batch_stats']
+            else:
+                fields = model.apply(variables, images, train=True)
+                new_stats = batch_stats
+            total, comps = loss_fn(fields, targets)
+            return total, new_stats
+
+        (total, new_stats), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        updates, new_opt_state = tx.update({'params': grads}, opt_state,
+                                           {'params': params})
+        new_params = optax.apply_updates({'params': params},
+                                         updates)['params']
+        return new_params, new_stats, new_opt_state, total
+
+    @jax.jit
+    def chain(params, batch_stats, opt_state, stacked):
+        def body(carry, batch):
+            params, batch_stats, opt_state, _ = carry
+            images, targets = batch
+            params, batch_stats, opt_state, total = train_step(
+                params, batch_stats, opt_state, images, targets)
+            return (params, batch_stats, opt_state, total), ()
+        carry, _ = jax.lax.scan(
+            body, (params, batch_stats, opt_state,
+                   jnp.zeros((), jnp.float32)), stacked)
+        return carry
+
+    log(f'{basenet}: compiling train chain...')
+    state = chain(params, batch_stats, opt_state, stacked)
+    jax.block_until_ready(state)
+
+    times = []
+    for _ in range(N_CALLS):
+        start = time.perf_counter()
+        state = chain(state[0], state[1], state[2], stacked)
+        loss_host = float(state[3])
+        times.append((time.perf_counter() - start) / N_INNER)
+        assert np.isfinite(loss_host), 'non-finite loss'
+    step_s = statistics.median(times)
+
+    log(f'{basenet}: cost analysis...')
+    one = jax.jit(train_step)
+    cost = one.lower(params, batch_stats, opt_state,
+                     *jax.tree.map(lambda a: a[0], stacked)).compile(
+                     ).cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    flops = float((cost or {}).get('flops', 0.0))
+    mfu = flops / step_s / PEAK_BF16
+
+    log(f'{basenet}: host encoder throughput...')
+    enc_rate = encoder_throughput(model)
+
+    device_rate = BATCH / step_s
+    return {
+        'basenet': basenet, 'batch': BATCH, 'image_hw': IMAGE_HW,
+        'step_ms': round(step_s * 1e3, 2),
+        'images_per_s': round(device_rate, 2),
+        'step_gflops': round(flops / 1e9, 1),
+        'mfu_pct': round(100 * mfu, 2),
+        'encoder_images_per_s_1core': round(enc_rate, 1),
+        'encoder_workers_needed': round(device_rate / enc_rate, 2),
+    }
+
+
+def main():
+    import jax
+
+    device = jax.devices()[0]
+    rows = [bench_model('shufflenetv2k16'), bench_model('resnet50')]
+    out = {'device': getattr(device, 'device_kind', device.platform),
+           'protocol': 'scan-chained steps, params carried (anti-memo), '
+                       'loss readback per call',
+           'models': rows}
+    with open(os.path.join(REPO, 'TRAINBENCH.json'), 'w') as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
