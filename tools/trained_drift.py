@@ -1,0 +1,173 @@
+"""Trained-checkpoint drift: production decode vs sequential oracle on
+REAL fields (VERDICT r2 next-round item 2, second half).
+
+The synthetic drift reports (DRIFT.md / DRIFT_noise.md) paint fields;
+this tool runs a *trained* checkpoint over the deterministic toykp eval
+set, decodes every image with both the production parallel decoder and
+the sequential-faithful oracle (shared front-end), and reports per-pose
+agreement plus the COCO-protocol AP of each path — the AP delta is the
+end-metric cost of parallel scheduling on real trained fields.
+
+Usage (CPU-forced, from the repo root):
+
+    python tools/trained_drift.py --checkpoint /tmp/toykp_r2/model.npz
+"""
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, 'tests'))
+
+os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=1')
+
+import jax  # noqa: E402
+jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np  # noqa: E402
+
+
+def decode_paths(model, cif_f, caf_f):
+    """One image's fields -> (parallel anns, oracle anns)."""
+    import jax.numpy as jnp
+
+    from openpifpaf_tpu.decoder.cifcaf import CifCaf
+    from openpifpaf_tpu.ops import growth, pipeline, sequential_oracle
+
+    cif_meta, caf_meta = model.head_metas[0], model.head_metas[1]
+    dec = CifCaf(cif_meta, caf_meta)
+    h, w = cif_f.shape[-2:]
+    stride = cif_meta.stride
+    image_hw = ((h - 1) * stride + 1, (w - 1) * stride + 1)
+    config = dec.config_for(image_hw)
+    skeleton = np.asarray(caf_meta.skeleton, np.int32) - 1
+    score_weights = np.asarray(
+        cif_meta.score_weights or [1.0] * cif_meta.n_fields, np.float32)
+
+    fe = pipeline.decode_front_end(
+        jnp.asarray(cif_f), jnp.asarray(caf_f), cif_meta=cif_meta,
+        caf_meta=caf_meta, config=config)
+
+    # production
+    edges = growth.directed_edges(skeleton)
+    poses, placed, pose_valid, _, _, seed_f = growth.init_poses(
+        fe.sds, n_keypoints=cif_meta.n_fields, config=config.growth)
+    poses, placed = growth.grow(poses, placed, pose_valid, fe.cands, edges,
+                                config.growth, force_cand=fe.cands_fc)
+    p_out, _, p_scores, p_valid = pipeline.finalize_poses(
+        poses, placed, pose_valid, fe.scale_px,
+        score_weights=score_weights, config=config, seed_f=seed_f)
+
+    # oracle
+    o_list = sequential_oracle.decode_sequential(
+        fe.sds, fe.cands, skeleton, n_keypoints=cif_meta.n_fields,
+        image_hw=config.image_hw, config=config.growth,
+        force_cand=fe.cands_fc)
+    p_budget = config.growth.max_poses
+    o_poses = np.zeros((p_budget, cif_meta.n_fields, 4), np.float32)
+    o_placed = np.zeros((p_budget, cif_meta.n_fields), bool)
+    o_valid = np.zeros(p_budget, bool)
+    for i, pose in enumerate(o_list[:p_budget]):
+        o_poses[i] = pose
+        o_placed[i] = pose[:, 2] > 0
+        o_valid[i] = True
+    oo_out, _, oo_scores, oo_valid = pipeline.finalize_poses(
+        jnp.asarray(o_poses), jnp.asarray(o_placed), jnp.asarray(o_valid),
+        fe.scale_px, score_weights=score_weights, config=config)
+
+    def extract(out, scores, valid):
+        out, scores, valid = map(np.asarray, (out, scores, valid))
+        res = [(out[i, :, :3], float(scores[i]))
+               for i in range(len(valid)) if valid[i]]
+        res.sort(key=lambda t: -t[1])
+        return res
+
+    return (extract(p_out, p_scores, p_valid),
+            extract(oo_out, oo_scores, oo_valid))
+
+
+def ap_of(per_image, metric_factory, loader_batches):
+    from openpifpaf_tpu.annotation import Annotation
+    from openpifpaf_tpu.plugins.coco import constants
+
+    metric = metric_factory()
+    idx = 0
+    for images, anns_gt, metas in loader_batches:
+        for gt, meta in zip(anns_gt, metas):
+            anns = []
+            for xyv, score in per_image[idx]:
+                ann = Annotation(constants.COCO_KEYPOINTS,
+                                 constants.COCO_PERSON_SKELETON,
+                                 sigmas=constants.COCO_PERSON_SIGMAS,
+                                 score_weights=(
+                                     constants.COCO_PERSON_SCORE_WEIGHTS))
+                ann.data[:] = xyv
+                ann.joint_scales[:] = 4.0
+                ann.fixed_score = score
+                anns.append(ann)
+            metric.accumulate(anns, meta, ground_truth=gt)
+            idx += 1
+    stats = metric.stats()
+    return dict(zip(stats['text_labels'], stats['stats']))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--checkpoint', required=True)
+    args = parser.parse_args()
+
+    from drift_harness import scene_agreement
+
+    from openpifpaf_tpu import datasets, models, plugin
+
+    plugin.register()
+    factory = models.Factory(checkpoint=args.checkpoint, bf16=False)
+    model = factory.factory()
+    datamodule = datasets.factory('toykp')
+    for meta, model_meta in zip(datamodule.head_metas, model.head_metas):
+        meta.head_index = model_meta.head_index
+        meta.base_stride = model_meta.base_stride
+    loader = datamodule.eval_loader()
+
+    forward = jax.jit(lambda v, x: model.apply_fast(v, x))
+    par_all, ora_all, per_scene = [], [], []
+    batches = []
+    for images, anns_gt, metas in loader:
+        images = np.stack([np.asarray(x) for x in images])
+        fields = forward(model.variables, images)
+        cif_f = np.asarray(fields[0], np.float32)
+        caf_f = np.asarray(fields[1], np.float32)
+        batches.append((images, anns_gt, metas))
+        for i in range(images.shape[0]):
+            parallel, oracle = decode_paths(model, cif_f[i], caf_f[i])
+            par_all.append(parallel)
+            ora_all.append(oracle)
+            per_scene.append(scene_agreement(parallel, oracle))
+
+    n_o = sum(m['n_oracle'] for m in per_scene)
+    n_p = sum(m['n_parallel'] for m in per_scene)
+    n_m = sum(m['n_matched'] for m in per_scene)
+    finite = [m['mean_oks'] for m in per_scene if np.isfinite(m['mean_oks'])]
+
+    ap_parallel = ap_of(par_all, lambda: datamodule.metrics()[0], batches)
+    ap_oracle = ap_of(ora_all, lambda: datamodule.metrics()[0], batches)
+
+    out = {
+        'checkpoint': os.path.basename(args.checkpoint),
+        'n_images': len(par_all),
+        'poses_parallel': n_p, 'poses_oracle': n_o, 'matched': n_m,
+        'detection_f1': round(2 * n_m / max(1, n_o + n_p), 4),
+        'mean_oks': round(float(np.mean(finite)), 4) if finite else None,
+        'AP_parallel': round(ap_parallel['AP'], 4),
+        'AP_oracle': round(ap_oracle['AP'], 4),
+        'AP_delta': round(ap_parallel['AP'] - ap_oracle['AP'], 4),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
