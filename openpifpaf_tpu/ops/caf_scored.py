@@ -87,12 +87,12 @@ def score(components, cifhr: jnp.ndarray, skeleton: np.ndarray, *,
     conf_sel = jnp.where(valid, vals, 0.0)
     n_dropped = jnp.maximum(0, mask.sum() - valid.sum()).astype(jnp.int32)
 
-    take = jnp.take_along_axis
-
-    def sel(a):
-        return take(a.reshape(e, n), idx, 1)               # (E, C)
-
-    x1s, y1s, x2s, y2s, s1s, s2s = map(sel, (x1, y1, x2, y2, s1, s2))
+    # one packed gather for all six geometry components (six separate
+    # take_along_axis calls become six tiny TPU kernels; one (E, N, 6)
+    # gather amortizes the fixed per-kernel cost)
+    packed = jnp.stack([x1, y1, x2, y2, s1, s2], axis=-1).reshape(e, n, 6)
+    packed_sel = jnp.take_along_axis(packed, idx[..., None], axis=1)
+    x1s, y1s, x2s, y2s, s1s, s2s = (packed_sel[..., i] for i in range(6))
 
     kp1 = jnp.asarray(skeleton[:, 0], jnp.int32)
     kp2 = jnp.asarray(skeleton[:, 1], jnp.int32)

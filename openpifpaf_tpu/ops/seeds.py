@@ -66,12 +66,15 @@ def select(conf: jnp.ndarray, x_px: jnp.ndarray, y_px: jnp.ndarray,
     flat_v = v.reshape(-1)
     mask = mask.reshape(-1)
     vals, idx, valid = masked_top_k(flat_v, mask, config.max_seeds)
+    # one packed gather for (x, y, s) — amortizes per-kernel fixed cost
+    packed = jnp.stack([x_px, y_px, scale_px], axis=-1).reshape(-1, 3)
+    packed_sel = packed[idx]
     return Seeds(
         v=jnp.where(valid, vals, 0.0),
         f=(idx // (h * w)).astype(jnp.int32),
-        x=x_px.reshape(-1)[idx],
-        y=y_px.reshape(-1)[idx],
-        s=scale_px.reshape(-1)[idx],
+        x=packed_sel[:, 0],
+        y=packed_sel[:, 1],
+        s=packed_sel[:, 2],
         valid=valid,
     )
 
