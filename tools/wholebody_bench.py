@@ -31,27 +31,30 @@ def log(msg):
 
 
 def scan_time(fn, stacked, n_inner=8, n_calls=5):
+    """fn(x, scalar_carry) -> (scalar, aux_tree).  Returns (median s/iter,
+    aux of the last call) with one compiled program total."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def chain(stacked, carry):
         def body(c, x):
-            return fn(x, c), ()
-        carry, _ = jax.lax.scan(body, carry, stacked)
-        return carry
+            c2, aux = fn(x, c)
+            return c2, aux
+        carry, auxs = jax.lax.scan(body, carry, stacked)
+        return carry, jax.tree.map(lambda a: a[-1], auxs)
 
     carry = jnp.zeros((), jnp.float32)
-    carry = chain(stacked, carry)
-    jax.block_until_ready(carry)
+    carry, aux = chain(stacked, carry)
+    jax.block_until_ready((carry, aux))
     times = []
     for _ in range(n_calls):
         start = time.perf_counter()
-        carry = chain(stacked, carry)
+        carry, aux = chain(stacked, carry)
         c = float(carry)
         times.append((time.perf_counter() - start) / n_inner)
         assert np.isfinite(c)
-    return statistics.median(times)
+    return statistics.median(times), aux
 
 
 def main():
@@ -103,22 +106,28 @@ def main():
 
     def step(x, c):
         cf, af = x
-        return sum_leaves(vdecode((cf + c * 1e-6, af)))
+        decoded = vdecode((cf + c * 1e-6, af))
+        counters = jnp.stack([
+            decoded.n_dropped_cif.sum(), decoded.n_dropped_caf.sum(),
+            decoded.n_dropped_poses.sum(),
+            decoded.valid.sum().astype(jnp.int32)])
+        return sum_leaves(decoded), counters
 
     stacked = jax.tree.map(lambda a: jnp.stack([a] * 8), (cif_f, caf_f))
     log('decode: compile+time (133 kp / 129 edges)...')
-    t = scan_time(step, stacked)
+    t, counter_vec = scan_time(step, stacked)
 
     # noop floor for the RTT correction
     tiny = jnp.zeros((8, 4, 4), jnp.float32)
-    t0 = scan_time(lambda x, c: (x[0, 0] + c).sum() * 1.000001, tiny)
+    t0, _ = scan_time(
+        lambda x, c: ((x[0, 0] + c).sum() * 1.000001, jnp.zeros(4)), tiny)
 
-    decoded = jax.block_until_ready(jax.jit(vdecode)((cif_f, caf_f)))
+    cvec = np.asarray(counter_vec)
     counters = {
-        'n_dropped_cif': int(np.asarray(decoded.n_dropped_cif).sum()),
-        'n_dropped_caf': int(np.asarray(decoded.n_dropped_caf).sum()),
-        'n_dropped_poses': int(np.asarray(decoded.n_dropped_poses).sum()),
-        'n_poses': int(np.asarray(decoded.valid).sum()),
+        'n_dropped_cif': int(cvec[0]),
+        'n_dropped_caf': int(cvec[1]),
+        'n_dropped_poses': int(cvec[2]),
+        'n_poses': int(cvec[3]),
     }
     out = {
         'metric': 'wholebody_decode_ms_per_image_641px',
