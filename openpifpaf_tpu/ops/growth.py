@@ -251,6 +251,26 @@ def out_edges_table(edges: DirectedEdges, n_keypoints: int) -> np.ndarray:
     return table
 
 
+def in_edges_table(edges: DirectedEdges, n_keypoints: int) -> np.ndarray:
+    """(K, D) directed-edge ids with ``tgt_kp == k``, padded with Q,
+    ascending q per row (preserves the lowest-q argmax tie-break).
+
+    Static mirror of :func:`out_edges_table`: the per-round "best
+    incoming connection per joint" reduction gathers (P, K, D) from the
+    padded connection tables instead of materializing a (P, Q, K)
+    one-hot — the difference between ~100 KB and ~13 MB per image per
+    round at WholeBody scale (K=133, Q=258)."""
+    q_n = edges.src_kp.shape[0]
+    by_tgt = [[] for _ in range(n_keypoints)]
+    for q, t in enumerate(edges.tgt_kp):
+        by_tgt[int(t)].append(q)
+    d = max(1, max(len(lst) for lst in by_tgt))
+    table = np.full((n_keypoints, d), q_n, np.int32)
+    for k, lst in enumerate(by_tgt):
+        table[k, :len(lst)] = lst
+    return table
+
+
 def _connection_values_at(poses, placed, pose_valid, cand: CafCandidates,
                           edges: DirectedEdges, config: GrowthConfig,
                           reverse_match: bool, q_sel, q_valid):
@@ -318,8 +338,8 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
     tgt = jnp.asarray(edges.tgt_kp)
     src = jnp.asarray(edges.src_kp)
     q_n = edges.src_kp.shape[0]
-    k_range = jnp.arange(k)
     out_edges = jnp.asarray(out_edges_table(edges, k))   # (K, D), pad = Q
+    in_edges = jnp.asarray(in_edges_table(edges, k))     # (K, Din), pad = Q
     rows_p = jnp.arange(p)[:, None]
 
     def make_body(threshold: float, rel: float, reverse: bool,
@@ -355,19 +375,25 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
             tables = tuple(
                 t.at[rows_p, q_scatter].set(f)
                 for t, f in zip(tables, fresh))
-            value, tx, ty, ts, new_v = (t[:, :q_n] for t in tables)
+            value, tx, ty, ts, new_v = tables          # (P, Q+1), pad col Q
 
             vs = poses[:, src, 2]
             active = (placed[:, src] & ~placed[:, tgt]
                       & pose_valid[:, None])
-            ok = (new_v > threshold) & (new_v > rel * vs) & active
-            conn = jnp.where(ok, value, 0.0)          # (P, Q)
+            ok = ((new_v[:, :q_n] > threshold)
+                  & (new_v[:, :q_n] > rel * vs) & active)
+            conn = jnp.where(ok, value[:, :q_n], 0.0)   # (P, Q)
+            conn_pad = jnp.concatenate(
+                [conn, jnp.zeros((p, 1), conn.dtype)], axis=1)
 
-            # best incoming directed edge per joint: (P, K)
-            tgt_mask = tgt[:, None] == k_range[None, :]          # (Q, K)
-            conn_qk = jnp.where(tgt_mask[None], conn[:, :, None], 0.0)
-            best_q = jnp.argmax(conn_qk, axis=1)                 # (P, K)
-            best_v = jnp.max(conn_qk, axis=1)                    # (P, K)
+            # best incoming directed edge per joint via the static
+            # in-edge table: (P, K, Din) gather instead of a (P, Q, K)
+            # one-hot; rows ascend in q, so argmax keeps the lowest-q
+            # tie-break of the one-hot formulation
+            conn_kd = conn_pad[:, in_edges]                      # (P, K, Din)
+            d_star = jnp.argmax(conn_kd, axis=-1)                # (P, K)
+            best_v = jnp.max(conn_kd, axis=-1)                   # (P, K)
+            best_q = in_edges[jnp.arange(k)[None, :], d_star]    # (P, K)
 
             take = jnp.take_along_axis
             jx = take(tx, best_q, 1)

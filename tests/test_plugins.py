@@ -99,6 +99,39 @@ def test_wholebody_model_decode_stress():
     assert len(preds) == 1
 
 
+def test_wholebody_decode_budget_counters():
+    """Budget-overflow counters at the 133-kp / 129-edge shape (VERDICT
+    r2 #5): untrained-dense random fields must overflow the CAF candidate
+    budget *observably* (n_dropped_caf > 0) rather than silently, and the
+    decode must stay finite.  Perf numbers: tools/wholebody_bench.py."""
+    import dataclasses
+
+    import jax
+    from openpifpaf_tpu import models
+    from openpifpaf_tpu.ops import caf_scored, pipeline
+
+    dm = factory('wholebody')
+    model = models.Factory(base_name='shufflenetv2k16', bf16=False).factory(
+        head_metas=dm.head_metas, rng=jax.random.key(0))
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 129, 129, 3)).astype(np.float32)
+    outs = model(x)
+
+    cif_meta, caf_meta = model.head_metas[0], model.head_metas[1]
+    # a candidate budget below the 9x9 grid size so the dense untrained
+    # fields provably overflow it (at 641px the production budget of 256
+    # overflows instead — tools/wholebody_bench.py counters)
+    config = pipeline.CifCafConfig(
+        stride=16, image_hw=(129, 129),
+        caf=caf_scored.CafScoredConfig(max_candidates=16))
+    decoded = pipeline.decode_cifcaf_single(
+        outs[0][0], outs[1][0], cif_meta=cif_meta, caf_meta=caf_meta,
+        config=config)
+    assert int(decoded.n_dropped_caf) > 0     # observable, not silent
+    assert np.isfinite(np.asarray(decoded.xyv)).all()
+    assert np.isfinite(np.asarray(decoded.scores)).all()
+
+
 def test_cifar10_loader():
     dm = factory('cifar10')
     type(dm).batch_size = 2
