@@ -26,9 +26,8 @@ Run: ``python guide/08_performance.py``.
 import os
 import time
 
-if os.environ.get('JAX_PLATFORMS', '') == 'cpu' or True:
-    os.environ.setdefault('XLA_FLAGS',
-                          '--xla_force_host_platform_device_count=1')
+os.environ.setdefault('XLA_FLAGS',
+                      '--xla_force_host_platform_device_count=1')
 
 import jax
 import jax.numpy as jnp
@@ -93,3 +92,4 @@ elapsed = (time.perf_counter() - start) / n_inner / images.shape[0]
 print(f'per-image predict (incl. amortized host overhead): '
       f'{elapsed * 1e3:.2f} ms on {jax.devices()[0].device_kind}')
 print('for production numbers see bench.py / PERF.md / BENCH_r*.json')
+print('OK')
