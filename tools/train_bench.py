@@ -95,8 +95,10 @@ def encoder_throughput(model):
 
     class Ann:
         def __init__(self, d):
+            self.data = d['keypoints']
             self.keypoints = d['keypoints']
             self.iscrowd = d['iscrowd']
+            self.bbox = None
             self.fixed_bbox = None
 
     meta = {'valid_area': (0, 0, IMAGE_HW[1] - 1, IMAGE_HW[0] - 1),
