@@ -442,6 +442,45 @@ class GraphBuilder:
         ], [out]))
         return out
 
+    def mul(self, a: str, b: str) -> str:
+        out = self.name('mul')
+        self.nodes.append(node('Mul', [a, b], [out]))
+        return out
+
+    def add_const(self, x: str, value: float) -> str:
+        out = self.name('addc')
+        c = self.init_tensor(out + '.c', np.float32(value))
+        self.nodes.append(node('Add', [x, c], [out]))
+        return out
+
+    def mul_const(self, x: str, value: float) -> str:
+        out = self.name('mulc')
+        c = self.init_tensor(out + '.c', np.float32(value))
+        self.nodes.append(node('Mul', [x, c], [out]))
+        return out
+
+    def sigmoid(self, x: str) -> str:
+        out = self.name('sigmoid')
+        self.nodes.append(node('Sigmoid', [x], [out]))
+        return out
+
+    def global_avg_pool(self, x: str) -> str:
+        out = self.name('gap')
+        self.nodes.append(node('GlobalAveragePool', [x], [out]))
+        return out
+
+    def hard_sigmoid(self, x: str) -> str:
+        """relu6(x + 3) / 6 — same composition as
+        ``models/mobilenet.py::hard_sigmoid`` so numerics match exactly."""
+        return self.mul_const(self.clip(self.add_const(x, 3.0), 0.0, 6.0),
+                              1.0 / 6.0)
+
+    def hard_swish(self, x: str) -> str:
+        return self.mul(x, self.hard_sigmoid(x))
+
+    def silu(self, x: str) -> str:
+        return self.mul(x, self.sigmoid(x))
+
 
 def _require(condition, message):
     if not condition:
@@ -628,6 +667,133 @@ def _emit_mobilenetv2(g: GraphBuilder, basenet, params, stats, input_hw):
     return x, h, w
 
 
+def _emit_se(g: GraphBuilder, y: str, p: Dict, name: str) -> str:
+    """Squeeze-excitation (``models/mobilenet.py::SqueezeExcite``):
+    global mean -> 1x1 fc1 -> relu -> 1x1 fc2 -> hard_sigmoid gate."""
+    s = g.global_avg_pool(y)
+    s = g.conv(s, p['fc1']['kernel'], f'{name}.fc1', bias=p['fc1']['bias'])
+    s = g.relu(s)
+    s = g.conv(s, p['fc2']['kernel'], f'{name}.fc2', bias=p['fc2']['bias'])
+    return g.mul(y, g.hard_sigmoid(s))
+
+
+def _emit_mobilenetv3(g: GraphBuilder, basenet, params, stats, input_hw):
+    """MobileNetV3-Large trunk (``models/mobilenet.py::MobileNetV3``,
+    reference ``src/openpifpaf/network/basenetworks.py:~420``)."""
+
+    def bn(x, p, s, name):
+        if basenet.norm == 'batchnorm':
+            x = g.batchnorm(x, p, s, name)
+        return x
+
+    def act(x, kind):
+        return g.hard_swish(x) if kind == 'hardswish' \
+            else g.clip(x, 0.0, 6.0)
+
+    h, w = input_hw
+    x = g.conv('input', params['conv_stem']['kernel'], 'basenet.conv_stem',
+               strides=2, pads=1)
+    h, w = _conv_hw(h, 3, 1, 2), _conv_hw(w, 3, 1, 2)
+    x = g.hard_swish(bn(x, params['stem_norm'], stats['stem_norm'],
+                        'basenet.stem_norm'))
+
+    channels_in = 16
+    for block_i, (k, e, c, se, a, s) in enumerate(basenet.config):
+        block = f'block{block_i}'
+        p = params[block]
+        st = stats.get(block, {})
+        y = x
+        if 'expand' in p:   # absent when expand_channels == in channels
+            y = g.conv(y, p['expand']['kernel'], f'basenet.{block}.expand')
+            y = act(bn(y, p['expand_norm'], st.get('expand_norm'),
+                       f'basenet.{block}.expand_norm'), a)
+        y = g.conv(y, p['dwconv']['kernel'], f'basenet.{block}.dwconv',
+                   strides=s, pads=k // 2, groups=e)
+        y = act(bn(y, p['dw_norm'], st.get('dw_norm'),
+                   f'basenet.{block}.dw_norm'), a)
+        if se:
+            y = _emit_se(g, y, p['se'], f'basenet.{block}.se')
+        y = g.conv(y, p['project']['kernel'], f'basenet.{block}.project')
+        y = bn(y, p['project_norm'], st.get('project_norm'),
+               f'basenet.{block}.project_norm')
+        if s == 1 and channels_in == c:
+            y = g.add(y, x)
+        else:
+            h, w = _conv_hw(h, k, k // 2, s), _conv_hw(w, k, k // 2, s)
+        x = y
+        channels_in = c
+
+    x = g.conv(x, params['conv_head']['kernel'], 'basenet.conv_head')
+    x = g.hard_swish(bn(x, params['head_norm'], stats['head_norm'],
+                        'basenet.head_norm'))
+    return x, h, w
+
+
+def _emit_effnetv2(g: GraphBuilder, basenet, params, stats, input_hw):
+    """EfficientNetV2 trunk (``models/effnetv2.py``, reference
+    ``src/openpifpaf/network/basenetworks.py:~540``): fused-MBConv early
+    stages, MBConv+SE later stages, SiLU throughout."""
+
+    def bn(x, p, s, name):
+        if basenet.norm == 'batchnorm':
+            x = g.batchnorm(x, p, s, name)
+        return x
+
+    h, w = input_hw
+    x = g.conv('input', params['conv_stem']['kernel'], 'basenet.conv_stem',
+               strides=2, pads=1)
+    h, w = _conv_hw(h, 3, 1, 2), _conv_hw(w, 3, 1, 2)
+    x = g.silu(bn(x, params['stem_norm'], stats['stem_norm'],
+                  'basenet.stem_norm'))
+
+    channels_in = 24
+    block_i = 0
+    for kind, e, c, n, s0 in basenet.config:
+        for i in range(n):
+            block = f'block{block_i}'
+            p = params[block]
+            st = stats.get(block, {})
+            stride = s0 if i == 0 else 1
+            y = x
+            if kind == 'fused':
+                y = g.conv(y, p['expand']['kernel'],
+                           f'basenet.{block}.expand', strides=stride, pads=1)
+                y = g.silu(bn(y, p['expand_norm'], st.get('expand_norm'),
+                              f'basenet.{block}.expand_norm'))
+                if 'project' in p:   # absent when expand_ratio == 1
+                    y = g.conv(y, p['project']['kernel'],
+                               f'basenet.{block}.project')
+                    y = bn(y, p['project_norm'], st.get('project_norm'),
+                           f'basenet.{block}.project_norm')
+            else:
+                y = g.conv(y, p['expand']['kernel'],
+                           f'basenet.{block}.expand')
+                y = g.silu(bn(y, p['expand_norm'], st.get('expand_norm'),
+                              f'basenet.{block}.expand_norm'))
+                y = g.conv(y, p['dwconv']['kernel'],
+                           f'basenet.{block}.dwconv', strides=stride,
+                           pads=1, groups=e * channels_in)
+                y = g.silu(bn(y, p['dw_norm'], st.get('dw_norm'),
+                              f'basenet.{block}.dw_norm'))
+                y = _emit_se(g, y, p['se'], f'basenet.{block}.se')
+                y = g.conv(y, p['project']['kernel'],
+                           f'basenet.{block}.project')
+                y = bn(y, p['project_norm'], st.get('project_norm'),
+                       f'basenet.{block}.project_norm')
+            if stride == 1 and channels_in == c:
+                y = g.add(y, x)
+            else:
+                h, w = _conv_hw(h, 3, 1, stride), _conv_hw(w, 3, 1, stride)
+            x = y
+            channels_in = c
+            block_i += 1
+
+    x = g.conv(x, params['conv_head']['kernel'], 'basenet.conv_head')
+    x = g.silu(bn(x, params['head_norm'], stats['head_norm'],
+                  'basenet.head_norm'))
+    return x, h, w
+
+
 def _emit_squeezenet(g: GraphBuilder, basenet, params, stats, input_hw):
     """SqueezeNet 1.1 trunk (``models/squeezenet.py``) -> (tensor, h, w)."""
     h, w = input_hw
@@ -674,20 +840,23 @@ def build_model_graph(model, *, input_hw=(641, 641)) -> bytes:
     CompositeField4 heads) to ONNX bytes.  Input 'input': (1, 3, H, W)
     NCHW float32; one output per head named after its meta, shaped
     (1, F, C, H', W') like the flax forward."""
-    from .models.mobilenet import MobileNetV2
+    from .models.effnetv2 import EffNetV2
+    from .models.mobilenet import MobileNetV2, MobileNetV3
     from .models.resnet import ResNet
     from .models.shufflenetv2k import ShuffleNetV2K
     from .models.squeezenet import SqueezeNet
 
     emitters = ((ShuffleNetV2K, _emit_shufflenet), (ResNet, _emit_resnet),
                 (MobileNetV2, _emit_mobilenetv2),
+                (MobileNetV3, _emit_mobilenetv3),
+                (EffNetV2, _emit_effnetv2),
                 (SqueezeNet, _emit_squeezenet))
     basenet = model.module.basenet
     emit = next((fn for cls, fn in emitters if isinstance(basenet, cls)),
                 None)
     _require(emit is not None,
              f'ONNX export supports the ShuffleNetV2/V2K, ResNet, '
-             f'MobileNetV2 and SqueezeNet families; got '
+             f'MobileNetV2/V3, EffNetV2 and SqueezeNet families; got '
              f'{type(basenet).__name__}. Use export_stablehlo for the '
              f'portable native artifact.')
     _require(basenet.norm in ('batchnorm', 'none'),

@@ -63,6 +63,12 @@ def run_onnx(model_dict, inputs):
                    + bias[None, :, None, None])
         elif op == 'Relu':
             out = np.maximum(ins[0], 0.0)
+        elif op == 'Sigmoid':
+            out = 1.0 / (1.0 + np.exp(-ins[0].astype(np.float64)))
+        elif op == 'Mul':
+            out = ins[0] * ins[1]
+        elif op == 'GlobalAveragePool':
+            out = ins[0].mean(axis=(2, 3), keepdims=True)
         elif op == 'Clip':
             out = np.clip(ins[0], ins[1], ins[2])
         elif op == 'Add':
@@ -127,7 +133,9 @@ def build_model(upsample=1, base='shufflenetv2k16'):
             lambda x: jnp.asarray(
                 rng.uniform(0.5, 1.5, x.shape).astype(np.float32)), tree)
     model.variables = dict(model.variables)
-    model.variables['batch_stats'] = randomize(model.variables['batch_stats'])
+    if 'batch_stats' in model.variables:   # transformer trunks: layernorm
+        model.variables['batch_stats'] = randomize(
+            model.variables['batch_stats'])
     return model
 
 
@@ -167,7 +175,8 @@ def test_resnet_roundtrip_matches_flax_forward():
         np.testing.assert_allclose(gv, np.asarray(w), atol=3e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize('base', ['mobilenetv2', 'squeezenet'])
+@pytest.mark.parametrize('base', ['mobilenetv2', 'squeezenet',
+                                  'mobilenetv3large', 'effnetv2s'])
 def test_mobilenet_squeezenet_roundtrip(base):
     hw = (49, 49)
     model = build_model(base=base)
@@ -183,7 +192,7 @@ def test_mobilenet_squeezenet_roundtrip(base):
 
 
 def test_unsupported_basenet_raises():
-    model = build_model(base='mobilenetv3large')
+    model = build_model(base='swin_t')
     with pytest.raises(NotImplementedError, match='ShuffleNetV2'):
         build_model_graph(model, input_hw=(49, 49))
 
