@@ -469,6 +469,30 @@ class GraphBuilder:
         self.nodes.append(node('GlobalAveragePool', [x], [out]))
         return out
 
+    def matmul(self, a: str, b: str) -> str:
+        out = self.name('matmul')
+        self.nodes.append(node('MatMul', [a, b], [out]))
+        return out
+
+    def softmax(self, x: str, axis: int) -> str:
+        out = self.name('softmax')
+        self.nodes.append(node('Softmax', [x], [out], '',
+                               attr_int('axis', axis)))
+        return out
+
+    def avg_pool(self, x: str, kernel: int, strides: int,
+                 pads4: Sequence[int]) -> str:
+        """AveragePool with count_include_pad=1 (flax ``nn.avg_pool``
+        divides by the full window size including padding)."""
+        out = self.name('avgpool')
+        self.nodes.append(node(
+            'AveragePool', [x], [out], '',
+            attr_ints('kernel_shape', (kernel,) * 2),
+            attr_ints('strides', (strides,) * 2),
+            attr_ints('pads', pads4),
+            attr_int('count_include_pad', 1)))
+        return out
+
     def hard_sigmoid(self, x: str) -> str:
         """relu6(x + 3) / 6 — same composition as
         ``models/mobilenet.py::hard_sigmoid`` so numerics match exactly."""
@@ -612,6 +636,114 @@ def _emit_resnet(g: GraphBuilder, basenet, params, stats, input_hw):
             if block_i == 0:
                 h = conv_hw(h, 3, dil, s, dil)
                 w = conv_hw(w, 3, dil, s, dil)
+    return x, h, w
+
+
+def _emit_mhsa(g: GraphBuilder, x: str, p: Dict, name: str, *,
+               dim: int, h: int, w: int, num_heads: int = 4) -> str:
+    """BoTNet all2all attention (``models/botnet.py::MHSA2D``) at a static
+    export shape: the relative position embeddings are resized to the
+    feature map with the SAME ``jax.image.resize`` call the flax module
+    uses, then baked as initializers, so the emitted graph needs only
+    MatMul/Softmax/Add/Reshape/Transpose."""
+    import jax
+    import jax.numpy as jnp
+
+    head_dim = dim // num_heads
+    n = h * w
+    scale = float(head_dim) ** -0.5
+
+    def heads(t):   # (1, dim, h, w) -> (num_heads, n, head_dim)
+        t = g.reshape(t, (num_heads, head_dim, n))
+        return g.transpose(t, (0, 2, 1))
+
+    # q is pre-scaled once: both the content logits and the position
+    # logits carry the same head_dim**-0.5 factor in the flax module.
+    q = heads(g.conv(x, p['q']['kernel'], f'{name}.q'))
+    q = g.mul_const(q, scale)
+    k = heads(g.conv(x, p['k']['kernel'], f'{name}.k'))
+    v = heads(g.conv(x, p['v']['kernel'], f'{name}.v'))
+
+    logits = g.matmul(q, g.transpose(k, (0, 2, 1)))     # (heads, n, n)
+
+    rel = {}
+    for axis_name, size in (('rel_h', h), ('rel_w', w)):
+        baked = np.asarray(jax.image.resize(
+            jnp.asarray(p[axis_name]), (num_heads, head_dim, size),
+            'linear'), np.float32)
+        rel[axis_name] = g.init_tensor(f'{name}.{axis_name}_resized', baked)
+    ph = g.matmul(q, rel['rel_h'])                      # (heads, n, h)
+    pw = g.matmul(q, rel['rel_w'])                      # (heads, n, w)
+    pos = g.add(g.reshape(ph, (num_heads, n, h, 1)),
+                g.reshape(pw, (num_heads, n, 1, w)))
+    pos = g.reshape(pos, (num_heads, n, n))
+
+    attn = g.softmax(g.add(logits, pos), axis=2)
+    y = g.matmul(attn, v)                               # (heads, n, head_dim)
+    y = g.transpose(y, (0, 2, 1))
+    return g.reshape(y, (1, dim, h, w))
+
+
+def _emit_botnet(g: GraphBuilder, basenet, params, stats, input_hw):
+    """BotNet trunk (``models/botnet.py``): ResNet-50 stages 1-3, then a
+    2x2 average pool and BoT blocks with MHSA in place of the 3x3 conv."""
+
+    def bn(x, prefix, block=None):
+        if basenet.norm != 'batchnorm':
+            return x
+        p = params[block][prefix] if block else params[prefix]
+        s = stats[block][prefix] if block else stats[prefix]
+        name = f'basenet.{block}.{prefix}' if block else f'basenet.{prefix}'
+        return g.batchnorm(x, p, s, name)
+
+    def bottleneck_tail(x, y, p, block, s=1):
+        if 'downsample_conv' in p:
+            residual = g.conv(x, p['downsample_conv']['kernel'],
+                              f'basenet.{block}.downsample_conv', strides=s)
+            residual = bn(residual, 'downsample_bn', block)
+        else:
+            residual = x
+        return g.relu(g.add(y, residual))
+
+    h, w = input_hw
+    x = g.conv('input', params['conv1']['kernel'], 'basenet.conv1',
+               strides=2, pads=3)
+    h, w = _conv_hw(h, 7, 3, 2), _conv_hw(w, 7, 3, 2)
+    x = g.relu(bn(x, 'bn1'))
+
+    channels = (256, 512, 1024)
+    strides = (1, 2, 2)
+    for stage_i, (n_blocks, _, stride) in enumerate(
+            zip(basenet.layers[:3], channels, strides), start=1):
+        for block_i in range(n_blocks):
+            block = f'layer{stage_i}_{block_i}'
+            p = params[block]
+            s = stride if block_i == 0 else 1
+            y = g.conv(x, p['conv1']['kernel'], f'basenet.{block}.conv1')
+            y = g.relu(bn(y, 'bn1', block))
+            y = g.conv(y, p['conv2']['kernel'], f'basenet.{block}.conv2',
+                       strides=s, pads=1)
+            y = g.relu(bn(y, 'bn2', block))
+            y = g.conv(y, p['conv3']['kernel'], f'basenet.{block}.conv3')
+            y = bn(y, 'bn3', block)
+            x = bottleneck_tail(x, y, p, block, s)
+            if block_i == 0:
+                h, w = _conv_hw(h, 3, 1, s), _conv_hw(w, 3, 1, s)
+
+    # stage-4 entry: 2x2/2 avg pool, asymmetric (0, 1) padding
+    x = g.avg_pool(x, 2, 2, (0, 0, 1, 1))
+    h, w = (h + 1 - 2) // 2 + 1, (w + 1 - 2) // 2 + 1
+    for block_i in range(basenet.layers[3]):
+        block = f'layer4_{block_i}'
+        p = params[block]
+        y = g.conv(x, p['conv1']['kernel'], f'basenet.{block}.conv1')
+        y = g.relu(bn(y, 'bn1', block))
+        y = _emit_mhsa(g, y, p['mhsa'], f'basenet.{block}.mhsa',
+                       dim=512, h=h, w=w)
+        y = g.relu(bn(y, 'bn2', block))
+        y = g.conv(y, p['conv3']['kernel'], f'basenet.{block}.conv3')
+        y = bn(y, 'bn3', block)
+        x = bottleneck_tail(x, y, p, block)
     return x, h, w
 
 
@@ -840,13 +972,16 @@ def build_model_graph(model, *, input_hw=(641, 641)) -> bytes:
     CompositeField4 heads) to ONNX bytes.  Input 'input': (1, 3, H, W)
     NCHW float32; one output per head named after its meta, shaped
     (1, F, C, H', W') like the flax forward."""
+    from .models.botnet import BotNet
     from .models.effnetv2 import EffNetV2
     from .models.mobilenet import MobileNetV2, MobileNetV3
     from .models.resnet import ResNet
     from .models.shufflenetv2k import ShuffleNetV2K
     from .models.squeezenet import SqueezeNet
 
-    emitters = ((ShuffleNetV2K, _emit_shufflenet), (ResNet, _emit_resnet),
+    emitters = ((ShuffleNetV2K, _emit_shufflenet),
+                (BotNet, _emit_botnet),   # before ResNet-family fallbacks
+                (ResNet, _emit_resnet),
                 (MobileNetV2, _emit_mobilenetv2),
                 (MobileNetV3, _emit_mobilenetv3),
                 (EffNetV2, _emit_effnetv2),
@@ -855,7 +990,7 @@ def build_model_graph(model, *, input_hw=(641, 641)) -> bytes:
     emit = next((fn for cls, fn in emitters if isinstance(basenet, cls)),
                 None)
     _require(emit is not None,
-             f'ONNX export supports the ShuffleNetV2/V2K, ResNet, '
+             f'ONNX export supports the ShuffleNetV2/V2K, ResNet, BotNet, '
              f'MobileNetV2/V3, EffNetV2 and SqueezeNet families; got '
              f'{type(basenet).__name__}. Use export_stablehlo for the '
              f'portable native artifact.')

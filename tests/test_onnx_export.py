@@ -69,6 +69,22 @@ def run_onnx(model_dict, inputs):
             out = ins[0] * ins[1]
         elif op == 'GlobalAveragePool':
             out = ins[0].mean(axis=(2, 3), keepdims=True)
+        elif op == 'MatMul':
+            out = np.matmul(ins[0], ins[1])
+        elif op == 'Softmax':
+            ax = int(a['axis']['i'])
+            e = np.exp(ins[0] - ins[0].max(axis=ax, keepdims=True))
+            out = e / e.sum(axis=ax, keepdims=True)
+        elif op == 'AveragePool':
+            assert int(a['count_include_pad']['i']) == 1
+            k = tuple(a['kernel_shape']['ints'])
+            s = tuple(a['strides']['ints'])
+            p = a['pads']['ints']
+            summed = jax.lax.reduce_window(
+                jnp.asarray(ins[0]), 0.0, jax.lax.add,
+                (1, 1, *k), (1, 1, *s),
+                ((0, 0), (0, 0), (p[0], p[2]), (p[1], p[3])))
+            out = np.asarray(summed) / float(k[0] * k[1])
         elif op == 'Clip':
             out = np.clip(ins[0], ins[1], ins[2])
         elif op == 'Add':
@@ -176,7 +192,8 @@ def test_resnet_roundtrip_matches_flax_forward():
 
 
 @pytest.mark.parametrize('base', ['mobilenetv2', 'squeezenet',
-                                  'mobilenetv3large', 'effnetv2s'])
+                                  'mobilenetv3large', 'effnetv2s',
+                                  'botnet'])
 def test_mobilenet_squeezenet_roundtrip(base):
     hw = (49, 49)
     model = build_model(base=base)
