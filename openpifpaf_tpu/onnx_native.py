@@ -469,6 +469,89 @@ class GraphBuilder:
         self.nodes.append(node('GlobalAveragePool', [x], [out]))
         return out
 
+    def sub(self, a: str, b: str) -> str:
+        out = self.name('sub')
+        self.nodes.append(node('Sub', [a, b], [out]))
+        return out
+
+    def div(self, a: str, b: str) -> str:
+        out = self.name('div')
+        self.nodes.append(node('Div', [a, b], [out]))
+        return out
+
+    def sqrt(self, x: str) -> str:
+        out = self.name('sqrt')
+        self.nodes.append(node('Sqrt', [x], [out]))
+        return out
+
+    def tanh(self, x: str) -> str:
+        out = self.name('tanh')
+        self.nodes.append(node('Tanh', [x], [out]))
+        return out
+
+    def reduce_mean(self, x: str, axes: Sequence[int]) -> str:
+        out = self.name('rmean')
+        self.nodes.append(node('ReduceMean', [x], [out], '',
+                               attr_ints('axes', axes),
+                               attr_int('keepdims', 1)))
+        return out
+
+    def reduce_sum(self, x: str, axes: Sequence[int]) -> str:
+        """ReduceSum-13: axes as a second input tensor."""
+        out = self.name('rsum')
+        ax = self.init_tensor(out + '.axes', np.asarray(axes, np.int64))
+        self.nodes.append(node('ReduceSum', [x, ax], [out], '',
+                               attr_int('keepdims', 1)))
+        return out
+
+    def gather(self, x: str, indices, axis: int) -> str:
+        out = self.name('gather')
+        idx = self.init_tensor(out + '.idx',
+                               np.asarray(indices, np.int64))
+        self.nodes.append(node('Gather', [x, idx], [out], '',
+                               attr_int('axis', axis)))
+        return out
+
+    def pad_zeros(self, x: str, pads: Sequence[int]) -> str:
+        """Pad-13: ``pads`` is the full ONNX list (begins then ends)."""
+        out = self.name('pad')
+        p = self.init_tensor(out + '.pads', np.asarray(pads, np.int64))
+        self.nodes.append(node('Pad', [x, p], [out], '',
+                               attr_string('mode', 'constant')))
+        return out
+
+    def slice_axes(self, x: str, starts, ends, axes, steps=None) -> str:
+        out = self.name('slicex')
+        pre = out + '.'
+        inputs = [
+            x,
+            self.init_tensor(pre + 'starts', np.asarray(starts, np.int64)),
+            self.init_tensor(pre + 'ends', np.asarray(ends, np.int64)),
+            self.init_tensor(pre + 'axes', np.asarray(axes, np.int64)),
+        ]
+        if steps is not None:
+            inputs.append(self.init_tensor(pre + 'steps',
+                                           np.asarray(steps, np.int64)))
+        self.nodes.append(node('Slice', inputs, [out]))
+        return out
+
+    def concat(self, xs: Sequence[str], axis: int) -> str:
+        out = self.name('concat')
+        self.nodes.append(node('Concat', list(xs), [out], '',
+                               attr_int('axis', axis)))
+        return out
+
+    def dense(self, x: str, p: Dict, name: str) -> str:
+        """flax ``nn.Dense``: x @ kernel (+ bias), contracting the last
+        axis (ONNX MatMul ND x 2D broadcast)."""
+        w = self.init_tensor(f'{name}.weight',
+                             np.asarray(p['kernel'], np.float32))
+        y = self.matmul(x, w)
+        if 'bias' in p:
+            y = self.add(y, self.init_tensor(
+                f'{name}.bias', np.asarray(p['bias'], np.float32)))
+        return y
+
     def matmul(self, a: str, b: str) -> str:
         out = self.name('matmul')
         self.nodes.append(node('MatMul', [a, b], [out]))
@@ -682,6 +765,250 @@ def _emit_mhsa(g: GraphBuilder, x: str, p: Dict, name: str, *,
     y = g.matmul(attn, v)                               # (heads, n, head_dim)
     y = g.transpose(y, (0, 2, 1))
     return g.reshape(y, (1, dim, h, w))
+
+
+def _emit_ln(g: GraphBuilder, x: str, p: Dict, name: str, axis: int) -> str:
+    """flax ``nn.LayerNorm`` (epsilon 1e-6) over the given axis,
+    decomposed to opset-13 ops (LayerNormalization is opset >= 17)."""
+    mean = g.reduce_mean(x, (axis,))
+    d = g.sub(x, mean)
+    var = g.reduce_mean(g.mul(d, d), (axis,))
+    y = g.div(d, g.sqrt(g.add_const(var, 1e-6)))
+    y = g.mul(y, g.init_tensor(f'{name}.scale',
+                               np.asarray(p['scale'], np.float32)))
+    return g.add(y, g.init_tensor(f'{name}.bias',
+                                  np.asarray(p['bias'], np.float32)))
+
+
+def _emit_gelu(g: GraphBuilder, x: str) -> str:
+    """tanh-approximate GELU (flax ``nn.gelu`` default)."""
+    x3 = g.mul(g.mul(x, x), x)
+    inner = g.add(x, g.mul_const(x3, 0.044715))
+    t = g.tanh(g.mul_const(inner, 0.7978845608028654))   # sqrt(2/pi)
+    return g.mul(g.mul_const(x, 0.5), g.add_const(t, 1.0))
+
+
+def _emit_roll(g: GraphBuilder, x: str, s: int, axis: int, size: int) -> str:
+    """jnp.roll(x, -s, axis) == concat(x[s:], x[:s]); pass size-s for +s."""
+    s = s % size
+    if s == 0:
+        return x
+    hi = g.slice_axes(x, (s,), (size,), (axis,))
+    lo = g.slice_axes(x, (0,), (s,), (axis,))
+    return g.concat([hi, lo], axis=axis)
+
+
+def _emit_swin_attn(g: GraphBuilder, x: str, p: Dict, name: str, *,
+                    dim: int, heads: int, win: int, n_windows: int,
+                    mask: np.ndarray) -> str:
+    """Window attention (``models/swin.py::WindowAttention``): relative
+    position bias and the shift mask are static, baked as initializers."""
+    from .models.swin import relative_position_index
+
+    l = win * win
+    hd = dim // heads
+    qkv = g.dense(x, p['qkv'], f'{name}.qkv')            # (nW, l, 3*dim)
+    qkv = g.reshape(qkv, (n_windows, l, 3, heads, hd))
+
+    def pick(i):
+        t = g.slice_axes(qkv, (i,), (i + 1,), (2,))
+        t = g.reshape(t, (n_windows, l, heads, hd))
+        return g.transpose(t, (0, 2, 1, 3))              # (nW, heads, l, hd)
+
+    q = g.mul_const(pick(0), float(hd) ** -0.5)
+    k, v = pick(1), pick(2)
+
+    attn = g.matmul(q, g.transpose(k, (0, 1, 3, 2)))     # (nW, heads, l, l)
+    table = np.asarray(p['relative_position_bias_table'], np.float32)
+    idx = relative_position_index(win).reshape(-1)
+    bias = table[idx].reshape(l, l, heads).transpose(2, 0, 1)[None]
+    attn = g.add(attn, g.init_tensor(f'{name}.rel_bias', bias))
+    if mask is not None:
+        attn = g.add(attn, g.init_tensor(
+            f'{name}.shift_mask',
+            np.asarray(mask, np.float32)[:, None]))      # (nW, 1, l, l)
+    attn = g.softmax(attn, axis=3)
+
+    y = g.matmul(attn, v)                                # (nW, heads, l, hd)
+    y = g.reshape(g.transpose(y, (0, 2, 1, 3)), (n_windows, l, dim))
+    return g.dense(y, p['proj'], f'{name}.proj')
+
+
+def _emit_swin_block(g: GraphBuilder, x: str, p: Dict, name: str, *,
+                     h: int, w: int, dim: int, heads: int, win: int,
+                     shift: int) -> str:
+    """One SwinBlock on a (1, h, w, dim) channels-last tensor."""
+    from .models.swin import SwinBlock
+
+    shortcut = x
+    x = _emit_ln(g, x, p['norm1'], f'{name}.norm1', axis=3)
+
+    pad_h = (win - h % win) % win
+    pad_w = (win - w % win) % win
+    if pad_h or pad_w:
+        x = g.pad_zeros(x, (0, 0, 0, 0, 0, pad_h, pad_w, 0))
+    hp, wp = h + pad_h, w + pad_w
+
+    mask = None
+    if shift > 0:
+        x = _emit_roll(g, x, shift, 1, hp)
+        x = _emit_roll(g, x, shift, 2, wp)
+        mask = np.asarray(SwinBlock(
+            dim, heads, window=win, shift=shift)._attn_mask(hp, wp))
+
+    nh, nw = hp // win, wp // win
+    x = g.reshape(x, (1, nh, win, nw, win, dim))
+    x = g.transpose(x, (0, 1, 3, 2, 4, 5))
+    x = g.reshape(x, (nh * nw, win * win, dim))
+    x = _emit_swin_attn(g, x, p['attn'], f'{name}.attn', dim=dim,
+                        heads=heads, win=win, n_windows=nh * nw, mask=mask)
+    x = g.reshape(x, (1, nh, nw, win, win, dim))
+    x = g.transpose(x, (0, 1, 3, 2, 4, 5))
+    x = g.reshape(x, (1, hp, wp, dim))
+
+    if shift > 0:
+        x = _emit_roll(g, x, hp - shift, 1, hp)
+        x = _emit_roll(g, x, wp - shift, 2, wp)
+    if pad_h or pad_w:
+        x = g.slice_axes(x, (0, 0), (h, w), (1, 2))
+    x = g.add(shortcut, x)
+
+    y = _emit_ln(g, x, p['norm2'], f'{name}.norm2', axis=3)
+    y = g.dense(y, p['mlp_fc1'], f'{name}.mlp_fc1')
+    y = _emit_gelu(g, y)
+    y = g.dense(y, p['mlp_fc2'], f'{name}.mlp_fc2')
+    return g.add(x, y)
+
+
+def _emit_swin(g: GraphBuilder, basenet, params, stats, input_hw):
+    """Swin trunk (``models/swin.py``) at a static export shape.  The
+    whole trunk runs channels-last inside the graph (pure Reshape/
+    Transpose/MatMul ops) and transposes back to NCHW for the heads."""
+    h0, w0 = input_hw
+    # flax nn.Conv default 'SAME' padding at stride 4
+    h, w = -(-h0 // 4), -(-w0 // 4)
+    tot_h = max(0, (h - 1) * 4 + 4 - h0)
+    tot_w = max(0, (w - 1) * 4 + 4 - w0)
+    x = g.conv('input', params['patch_embed']['kernel'],
+               'basenet.patch_embed', strides=4,
+               pads=(tot_h // 2, tot_w // 2,
+                     tot_h - tot_h // 2, tot_w - tot_w // 2),
+               bias=params['patch_embed']['bias'])
+    x = g.transpose(x, (0, 2, 3, 1))                    # (1, h, w, C)
+    x = _emit_ln(g, x, params['patch_norm'], 'basenet.patch_norm', axis=3)
+
+    for stage_i, (depth, heads) in enumerate(
+            zip(basenet.depths, basenet.num_heads)):
+        dim = basenet.embed_dim * (2 ** min(stage_i, 3))
+        if stage_i > 0:
+            if stage_i < 3:
+                # PatchMerging: 2x2 neighborhood concat -> LN -> reduce
+                mname = f'merge{stage_i}'
+                mp = params[mname]
+                pad_h, pad_w = h % 2, w % 2
+                if pad_h or pad_w:
+                    x = g.pad_zeros(x, (0, 0, 0, 0, 0, pad_h, pad_w, 0))
+                hp, wp = h + pad_h, w + pad_w
+                parts = [
+                    g.slice_axes(x, (sh, sw), (hp, wp), (1, 2), (2, 2))
+                    for sh, sw in ((0, 0), (1, 0), (0, 1), (1, 1))]
+                x = g.concat(parts, axis=3)
+                x = _emit_ln(g, x, mp['norm'], f'basenet.{mname}.norm',
+                             axis=3)
+                x = g.dense(x, mp['reduction'], f'basenet.{mname}.reduction')
+                h, w = hp // 2, wp // 2
+            else:
+                x = g.dense(x, params[f'merge{stage_i}_proj'],
+                            f'basenet.merge{stage_i}_proj')
+        for block_i in range(depth):
+            bname = f'stage{stage_i}_block{block_i}'
+            x = _emit_swin_block(
+                g, x, params[bname], f'basenet.{bname}', h=h, w=w, dim=dim,
+                heads=heads, win=basenet.window,
+                shift=0 if block_i % 2 == 0 else basenet.window // 2)
+
+    x = _emit_ln(g, x, params['norm_out'], 'basenet.norm_out', axis=3)
+    return g.transpose(x, (0, 3, 1, 2)), h, w
+
+
+def _emit_xcit(g: GraphBuilder, basenet, params, stats, input_hw):
+    """XCiT trunk (``models/xcit.py``): conv stem to stride 16, then XCA
+    (channel cross-covariance attention) + LPI + MLP blocks.  The XCA
+    attention matrix is (head_dim, head_dim) — image-size independent."""
+    dim = basenet.embed_dim
+    heads = basenet.num_heads
+    hd = dim // heads
+
+    def bn(x, block, leaf):
+        if basenet.norm != 'batchnorm':
+            return x
+        return g.batchnorm(x, params[block][leaf], stats[block][leaf],
+                           f'basenet.{block}.{leaf}')
+
+    # conv stem: four 3x3 stride-2 convs (gelu between, none after last)
+    h, w = input_hw
+    x = 'input'
+    sp = params['stem']
+    for i in range(4):
+        x = g.conv(x, sp[f'conv{i}']['kernel'], f'basenet.stem.conv{i}',
+                   strides=2, pads=1)
+        h, w = _conv_hw(h, 3, 1, 2), _conv_hw(w, 3, 1, 2)
+        x = bn(x, 'stem', f'norm{i}')
+        if i < 3:
+            x = _emit_gelu(g, x)
+    n = h * w
+
+    def xca(tokens, p, name):
+        qkv = g.dense(tokens, p['qkv'], f'{name}.qkv')    # (1, n, 3*dim)
+        qkv = g.reshape(qkv, (1, n, 3, heads, hd))
+
+        def pick(i):
+            t = g.slice_axes(qkv, (i,), (i + 1,), (2,))
+            t = g.reshape(t, (1, n, heads, hd))
+            return g.transpose(t, (0, 2, 3, 1))           # (1, heads, hd, n)
+
+        def l2norm(t):
+            nrm = g.sqrt(g.reduce_sum(g.mul(t, t), (3,)))
+            return g.div(t, g.add_const(nrm, 1e-6))
+
+        q, k, v = l2norm(pick(0)), l2norm(pick(1)), pick(2)
+        attn = g.matmul(q, g.transpose(k, (0, 1, 3, 2)))  # (1,heads,hd,hd)
+        attn = g.mul(attn, g.init_tensor(
+            f'{name}.temperature',
+            np.asarray(p['temperature'], np.float32)))
+        attn = g.softmax(attn, axis=3)
+        y = g.matmul(attn, v)                             # (1, heads, hd, n)
+        y = g.reshape(g.transpose(y, (0, 3, 1, 2)), (1, n, dim))
+        return g.dense(y, p['proj'], f'{name}.proj')
+
+    # to channels-last tokens
+    x = g.reshape(g.transpose(x, (0, 2, 3, 1)), (1, n, dim))
+    for i in range(basenet.depth):
+        block = f'block{i}'
+        p = params[block]
+        name = f'basenet.{block}'
+        y = _emit_ln(g, x, p['norm1'], f'{name}.norm1', axis=2)
+        x = g.add(x, xca(y, p['xca'], f'{name}.xca'))
+
+        # LPI: depthwise 3x3 convs need the NCHW 2D layout
+        y = _emit_ln(g, x, p['norm2'], f'{name}.norm2', axis=2)
+        y = g.transpose(g.reshape(y, (1, h, w, dim)), (0, 3, 1, 2))
+        y = g.conv(y, p['lpi_conv1']['kernel'], f'{name}.lpi_conv1',
+                   pads=1, groups=dim, bias=p['lpi_conv1']['bias'])
+        y = _emit_gelu(g, y)
+        y = g.conv(y, p['lpi_conv2']['kernel'], f'{name}.lpi_conv2',
+                   pads=1, groups=dim, bias=p['lpi_conv2']['bias'])
+        y = g.reshape(g.transpose(y, (0, 2, 3, 1)), (1, n, dim))
+        x = g.add(x, y)
+
+        y = _emit_ln(g, x, p['norm3'], f'{name}.norm3', axis=2)
+        y = g.dense(y, p['mlp_fc1'], f'{name}.mlp_fc1')
+        y = _emit_gelu(g, y)
+        y = g.dense(y, p['mlp_fc2'], f'{name}.mlp_fc2')
+        x = g.add(x, y)
+
+    x = _emit_ln(g, x, params['norm_out'], 'basenet.norm_out', axis=2)
+    return g.transpose(g.reshape(x, (1, h, w, dim)), (0, 3, 1, 2)), h, w
 
 
 def _emit_botnet(g: GraphBuilder, basenet, params, stats, input_hw):
@@ -978,6 +1305,8 @@ def build_model_graph(model, *, input_hw=(641, 641)) -> bytes:
     from .models.resnet import ResNet
     from .models.shufflenetv2k import ShuffleNetV2K
     from .models.squeezenet import SqueezeNet
+    from .models.swin import Swin
+    from .models.xcit import XCiT
 
     emitters = ((ShuffleNetV2K, _emit_shufflenet),
                 (BotNet, _emit_botnet),   # before ResNet-family fallbacks
@@ -985,13 +1314,15 @@ def build_model_graph(model, *, input_hw=(641, 641)) -> bytes:
                 (MobileNetV2, _emit_mobilenetv2),
                 (MobileNetV3, _emit_mobilenetv3),
                 (EffNetV2, _emit_effnetv2),
-                (SqueezeNet, _emit_squeezenet))
+                (SqueezeNet, _emit_squeezenet),
+                (Swin, _emit_swin),
+                (XCiT, _emit_xcit))
     basenet = model.module.basenet
     emit = next((fn for cls, fn in emitters if isinstance(basenet, cls)),
                 None)
     _require(emit is not None,
              f'ONNX export supports the ShuffleNetV2/V2K, ResNet, BotNet, '
-             f'MobileNetV2/V3, EffNetV2 and SqueezeNet families; got '
+             f'MobileNetV2/V3, EffNetV2, SqueezeNet and Swin families; got '
              f'{type(basenet).__name__}. Use export_stablehlo for the '
              f'portable native artifact.')
     _require(basenet.norm in ('batchnorm', 'none'),

@@ -100,12 +100,34 @@ def run_onnx(model_dict, inputs):
         elif op == 'Concat':
             out = np.concatenate(ins, axis=int(a['axis']['i']))
         elif op == 'Slice':
-            x, starts, ends, axes = ins
+            x, starts, ends, axes = ins[:4]
+            steps = ins[4] if len(ins) > 4 else np.ones_like(starts)
             slices = [slice(None)] * x.ndim
-            for s, e, ax in zip(starts, ends, axes):
+            for s, e, ax, st in zip(starts, ends, axes, steps):
                 e = None if e == np.iinfo(np.int64).max else int(e)
-                slices[int(ax)] = slice(int(s), e)
+                slices[int(ax)] = slice(int(s), e, int(st))
             out = x[tuple(slices)]
+        elif op == 'Sub':
+            out = ins[0] - ins[1]
+        elif op == 'Div':
+            out = ins[0] / ins[1]
+        elif op == 'Sqrt':
+            out = np.sqrt(ins[0])
+        elif op == 'Tanh':
+            out = np.tanh(ins[0])
+        elif op == 'ReduceSum':
+            out = ins[0].sum(axis=tuple(int(i) for i in ins[1]),
+                             keepdims=bool(a['keepdims']['i']))
+        elif op == 'Gather':
+            out = np.take(ins[0], ins[1], axis=int(a['axis']['i']))
+        elif op == 'ReduceMean':
+            axes = tuple(a['axes']['ints'])
+            out = ins[0].mean(axis=axes, keepdims=bool(a['keepdims']['i']))
+        elif op == 'Pad':
+            assert a['mode']['s'] == 'constant'
+            pads, r = ins[1], ins[0].ndim
+            out = np.pad(ins[0], [(int(pads[i]), int(pads[i + r]))
+                                  for i in range(r)])
         elif op == 'Reshape':
             out = ins[0].reshape([int(d) for d in ins[1]])
         elif op == 'Transpose':
@@ -193,7 +215,7 @@ def test_resnet_roundtrip_matches_flax_forward():
 
 @pytest.mark.parametrize('base', ['mobilenetv2', 'squeezenet',
                                   'mobilenetv3large', 'effnetv2s',
-                                  'botnet'])
+                                  'botnet', 'swin_t', 'xcit_small_12'])
 def test_mobilenet_squeezenet_roundtrip(base):
     hw = (49, 49)
     model = build_model(base=base)
@@ -209,9 +231,14 @@ def test_mobilenet_squeezenet_roundtrip(base):
 
 
 def test_unsupported_basenet_raises():
-    model = build_model(base='swin_t')
+    class FakeModule:
+        basenet = object()
+
+    class FakeModel:
+        module = FakeModule()
+
     with pytest.raises(NotImplementedError, match='ShuffleNetV2'):
-        build_model_graph(model, input_hw=(49, 49))
+        build_model_graph(FakeModel(), input_hw=(49, 49))
 
 
 def test_export_cli(tmp_path):
