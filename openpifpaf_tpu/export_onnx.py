@@ -5,9 +5,10 @@ naming, static input shape, opset pinning.  JAX has no in-tree ONNX
 exporter and neither ``onnx`` nor ``jax2onnx`` is installed here, so the
 default path is this framework's own serializer
 (:mod:`openpifpaf_tpu.onnx_native`): a protobuf wire-format writer plus a
-graph builder for the checkpointed model families (ShuffleNetV2/V2K,
-ResNet, BotNet incl. its MHSA stage, MobileNetV2/V3, EffNetV2,
-SqueezeNet + CompositeField4 heads).  Exports are verified in-tree by parsing the file
+graph builder covering EVERY registered basenet family (ShuffleNetV2/
+V2K, ResNet, BotNet incl. its MHSA stage, MobileNetV2/V3, EffNetV2,
+SqueezeNet, and the Swin/XCiT/HRFormer transformers) + CompositeField4
+heads.  Exports are verified in-tree by parsing the file
 back and re-executing it with a numpy/lax interpreter against the flax
 forward (``tests/test_onnx_export.py``).
 

@@ -931,6 +931,193 @@ def _emit_swin(g: GraphBuilder, basenet, params, stats, input_hw):
     return g.transpose(x, (0, 3, 1, 2)), h, w
 
 
+def _nearest_resize_idx(src: int, dst: int) -> np.ndarray:
+    """Static nearest-neighbor index map with the SAME semantics as
+    ``jax.image.resize(..., 'nearest')`` (computed by resizing arange)."""
+    import jax
+    import jax.numpy as jnp
+
+    return np.asarray(jax.image.resize(
+        jnp.arange(src, dtype=jnp.float32), (dst,),
+        'nearest')).astype(np.int64)
+
+
+def _emit_hrformer(g: GraphBuilder, basenet, params, stats, input_hw):
+    """HRFormer trunk (``models/hrformer.py``): conv stem + bottleneck
+    stage 1, then multi-resolution branches of window-attention blocks
+    with cross-resolution fusion; all branches gathered to stride 16.
+    Nearest upsampling is emitted as static Gather index maps."""
+    c = basenet.base_channels
+    win = basenet.window
+
+    def bn(x, leaf):
+        if basenet.norm != 'batchnorm':
+            return x
+        return g.batchnorm(x, params[leaf], stats[leaf], f'basenet.{leaf}')
+
+    def bnb(x, block, leaf):
+        if basenet.norm != 'batchnorm':
+            return x
+        return g.batchnorm(x, params[block][leaf], stats[block][leaf],
+                           f'basenet.{block}.{leaf}')
+
+    def nearest(x, sh, sw, th, tw):
+        if sh != th:
+            x = g.gather(x, _nearest_resize_idx(sh, th), axis=2)
+        if sw != tw:
+            x = g.gather(x, _nearest_resize_idx(sw, tw), axis=3)
+        return x
+
+    def hrblock(x, hh, ww, dim, heads, p, name):
+        """One HRFormerBlock on an NCHW branch tensor."""
+        xs = g.transpose(x, (0, 2, 3, 1))               # NHWC
+        y = _emit_ln(g, xs, p['norm1'], f'{name}.norm1', axis=3)
+        pad_h = (win - hh % win) % win
+        pad_w = (win - ww % win) % win
+        if pad_h or pad_w:
+            y = g.pad_zeros(y, (0, 0, 0, 0, 0, pad_h, pad_w, 0))
+        hp, wp = hh + pad_h, ww + pad_w
+        nh, nw = hp // win, wp // win
+        y = g.reshape(y, (1, nh, win, nw, win, dim))
+        y = g.transpose(y, (0, 1, 3, 2, 4, 5))
+        y = g.reshape(y, (nh * nw, win * win, dim))
+        y = _emit_swin_attn(g, y, p['attn'], f'{name}.attn', dim=dim,
+                            heads=heads, win=win, n_windows=nh * nw,
+                            mask=None)
+        y = g.reshape(y, (1, nh, nw, win, win, dim))
+        y = g.transpose(y, (0, 1, 3, 2, 4, 5))
+        y = g.reshape(y, (1, hp, wp, dim))
+        if pad_h or pad_w:
+            y = g.slice_axes(y, (0, 0), (hh, ww), (1, 2))
+        xs = g.add(xs, y)
+
+        # conv-MLP: 1x1 expand -> depthwise 3x3 -> 1x1 project
+        hidden = int(dim * basenet.mlp_ratio)
+        y = _emit_ln(g, xs, p['norm2'], f'{name}.norm2', axis=3)
+        y = g.transpose(y, (0, 3, 1, 2))
+        y = g.conv(y, p['mlp_fc1']['kernel'], f'{name}.mlp_fc1',
+                   bias=p['mlp_fc1']['bias'])
+        y = _emit_gelu(g, y)
+        y = g.conv(y, p['mlp_dwconv']['kernel'], f'{name}.mlp_dwconv',
+                   pads=1, groups=hidden, bias=p['mlp_dwconv']['bias'])
+        y = _emit_gelu(g, y)
+        y = g.conv(y, p['mlp_fc2']['kernel'], f'{name}.mlp_fc2',
+                   bias=p['mlp_fc2']['bias'])
+        return g.add(g.transpose(xs, (0, 3, 1, 2)), y)
+
+    def fuse(branches, chans, fname):
+        fp = params[fname]
+        fs = stats.get(fname, {})
+
+        def fbn(x, leaf):
+            if basenet.norm != 'batchnorm':
+                return x
+            return g.batchnorm(x, fp[leaf], fs[leaf],
+                               f'basenet.{fname}.{leaf}')
+
+        outs = []
+        for i, ci in enumerate(chans):
+            acc, hi, wi, _ = branches[i]
+            for j, (xj, hj, wj, _) in enumerate(branches):
+                if j == i:
+                    continue
+                y, hh, ww = xj, hj, wj
+                if j < i:                   # downsample with strided convs
+                    for step in range(i - j):
+                        leaf = f'down{j}to{i}_{step}'
+                        y = g.conv(y, fp[leaf]['kernel'],
+                                   f'basenet.{fname}.{leaf}',
+                                   strides=2, pads=1)
+                        hh, ww = _conv_hw(hh, 3, 1, 2), _conv_hw(ww, 3, 1, 2)
+                        y = fbn(y, f'{leaf}_norm')
+                        if step != i - j - 1:
+                            y = g.relu(y)
+                else:                       # 1x1 project + nearest upsample
+                    leaf = f'up{j}to{i}'
+                    y = g.conv(y, fp[leaf]['kernel'],
+                               f'basenet.{fname}.{leaf}')
+                    y = fbn(y, f'{leaf}_norm')
+                    y = nearest(y, hh, ww, hi, wi)
+                acc = g.add(acc, y)
+            outs.append((g.relu(acc), hi, wi, ci))
+        return outs
+
+    # stem to stride 4
+    h, w = input_hw
+    x = g.conv('input', params['stem1']['kernel'], 'basenet.stem1',
+               strides=2, pads=1)
+    h, w = _conv_hw(h, 3, 1, 2), _conv_hw(w, 3, 1, 2)
+    x = g.relu(bn(x, 'stem1_norm'))
+    x = g.conv(x, params['stem2']['kernel'], 'basenet.stem2',
+               strides=2, pads=1)
+    h, w = _conv_hw(h, 3, 1, 2), _conv_hw(w, 3, 1, 2)
+    x = g.relu(bn(x, 'stem2_norm'))
+
+    # stage 1: conv bottlenecks
+    for block_i in range(2):
+        block = f'stage1_block{block_i}'
+        p = params[block]
+        y = g.conv(x, p['conv1']['kernel'], f'basenet.{block}.conv1')
+        y = g.relu(bnb(y, block, 'norm1'))
+        y = g.conv(y, p['conv2']['kernel'], f'basenet.{block}.conv2', pads=1)
+        y = g.relu(bnb(y, block, 'norm2'))
+        y = g.conv(y, p['conv3']['kernel'], f'basenet.{block}.conv3')
+        y = bnb(y, block, 'norm3')
+        if 'down' in p:
+            x = g.conv(x, p['down']['kernel'], f'basenet.{block}.down')
+            x = bnb(x, block, 'down_norm')
+        x = g.relu(g.add(x, y))
+
+    branches = [(x, h, w, 256)]
+    for stage_i, n_modules in enumerate(basenet.num_modules, start=2):
+        n_branches = stage_i
+        chans = [c * (2 ** i) for i in range(n_branches)]
+        new_branches = []
+        for i, ch in enumerate(chans):
+            if i < len(branches):
+                y, hh, ww, chb = branches[i]
+                if chb != ch:
+                    leaf = f't{stage_i}_proj{i}'
+                    y = g.conv(y, params[leaf]['kernel'],
+                               f'basenet.{leaf}', pads=1)
+                    y = g.relu(bn(y, f'{leaf}_norm'))
+            else:
+                yb, hb, wb, _ = branches[-1]
+                leaf = f't{stage_i}_new{i}'
+                y = g.conv(yb, params[leaf]['kernel'], f'basenet.{leaf}',
+                           strides=2, pads=1)
+                hh, ww = _conv_hw(hb, 3, 1, 2), _conv_hw(wb, 3, 1, 2)
+                y = g.relu(bn(y, f'{leaf}_norm'))
+            new_branches.append((y, hh, ww, ch))
+        branches = new_branches
+
+        for module_i in range(n_modules):
+            run = []
+            for i, (y, hh, ww, ch) in enumerate(branches):
+                for block_i in range(basenet.blocks_per_module):
+                    bname = (f's{stage_i}_m{module_i}_b{i}_blk{block_i}')
+                    y = hrblock(y, hh, ww, ch, basenet.num_heads[i],
+                                params[bname], f'basenet.{bname}')
+                run.append((y, hh, ww, ch))
+            branches = fuse(run, chans, f's{stage_i}_m{module_i}_fuse')
+
+    # gather to stride 16 (branch 2) and concatenate
+    _, h16, w16, _ = branches[2]
+    outs = []
+    for i, (y, hh, ww, ch) in enumerate(branches):
+        if i < 2:
+            for step in range(2 - i):
+                leaf = f'out_down{i}_{step}'
+                y = g.conv(y, params[leaf]['kernel'], f'basenet.{leaf}',
+                           strides=2, pads=1)
+                hh, ww = _conv_hw(hh, 3, 1, 2), _conv_hw(ww, 3, 1, 2)
+                y = g.relu(bn(y, f'{leaf}_norm'))
+        elif i > 2:
+            y = nearest(y, hh, ww, h16, w16)
+        outs.append(y)
+    return g.concat(outs, axis=1), h16, w16
+
+
 def _emit_xcit(g: GraphBuilder, basenet, params, stats, input_hw):
     """XCiT trunk (``models/xcit.py``): conv stem to stride 16, then XCA
     (channel cross-covariance attention) + LPI + MLP blocks.  The XCA
@@ -1305,6 +1492,7 @@ def build_model_graph(model, *, input_hw=(641, 641)) -> bytes:
     from .models.resnet import ResNet
     from .models.shufflenetv2k import ShuffleNetV2K
     from .models.squeezenet import SqueezeNet
+    from .models.hrformer import HRFormer
     from .models.swin import Swin
     from .models.xcit import XCiT
 
@@ -1316,13 +1504,15 @@ def build_model_graph(model, *, input_hw=(641, 641)) -> bytes:
                 (EffNetV2, _emit_effnetv2),
                 (SqueezeNet, _emit_squeezenet),
                 (Swin, _emit_swin),
-                (XCiT, _emit_xcit))
+                (XCiT, _emit_xcit),
+                (HRFormer, _emit_hrformer))
     basenet = model.module.basenet
     emit = next((fn for cls, fn in emitters if isinstance(basenet, cls)),
                 None)
     _require(emit is not None,
              f'ONNX export supports the ShuffleNetV2/V2K, ResNet, BotNet, '
-             f'MobileNetV2/V3, EffNetV2, SqueezeNet and Swin families; got '
+             f'MobileNetV2/V3, EffNetV2, SqueezeNet, Swin, XCiT and '
+             f'HRFormer families — every registered basenet; got '
              f'{type(basenet).__name__}. Use export_stablehlo for the '
              f'portable native artifact.')
     _require(basenet.norm in ('batchnorm', 'none'),

@@ -215,7 +215,8 @@ def test_resnet_roundtrip_matches_flax_forward():
 
 @pytest.mark.parametrize('base', ['mobilenetv2', 'squeezenet',
                                   'mobilenetv3large', 'effnetv2s',
-                                  'botnet', 'swin_t', 'xcit_small_12'])
+                                  'botnet', 'swin_t', 'xcit_small_12',
+                                  'hrformer_s', 'shufflenetv2x1'])
 def test_mobilenet_squeezenet_roundtrip(base):
     hw = (49, 49)
     model = build_model(base=base)
