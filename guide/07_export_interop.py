@@ -7,8 +7,10 @@ TensorRT via torch).  This framework's export surfaces:
    the jitted forward as an ``jax.export`` archive that any XLA target
    (TPU, GPU, CPU) can load and run.
 2. **ONNX** (``export_onnx``) — serialized with the built-in writer
-   (``onnx_native.py``, no onnx/jax2onnx dependency) for the
-   ShuffleNetV2/V2K + ResNet checkpointed families.
+   (``onnx_native.py``, no onnx/jax2onnx dependency) for EVERY
+   registered basenet family, including the BotNet/Swin/XCiT/HRFormer
+   attention trunks (static-shape export: masks, relative-position
+   bias and resize index maps bake to initializers).
 3. **Torch interop** (``migrate --from-torch``) — converts reference
    (torch) state dicts onto this parameter tree, exactly
    (tests/test_export_migrate.py pins a zero-diff roundtrip).

@@ -104,6 +104,28 @@ class TrackingPose(Decoder):
                 tcaf_meta=self.tcaf_meta, config=self.tracking_config())
         return self._associators[key]
 
+    def _debug_visualize_tcaf(self, tcaf_field) -> None:
+        """Render the TCAF debug view when --debug-indices is set
+        (mirrors ``cifcaf.py::_debug_visualize``; reference hook:
+        ``src/openpifpaf/visualizer/tcaf.py``)."""
+        from .. import visualizer  # pylint: disable=import-outside-toplevel
+
+        if not visualizer.Base.all_indices:
+            return
+        import jax.numpy as jnp  # pylint: disable=import-outside-toplevel
+
+        from ..models.heads import split_fields  # pylint: disable=import-outside-toplevel
+
+        t = split_fields(jnp.asarray(tcaf_field), self.tcaf_meta)
+        tcaf_act = np.stack([
+            np.asarray(t.conf),
+            np.asarray(t.vec[:, 0, 0]), np.asarray(t.vec[:, 0, 1]),
+            np.asarray(t.vec[:, 1, 0]), np.asarray(t.vec[:, 1, 1]),
+            np.asarray(t.spread[:, 0]), np.asarray(t.spread[:, 1]),
+            np.asarray(t.scale[:, 0]), np.asarray(t.scale[:, 1]),
+        ], axis=1)
+        visualizer.Tcaf(self.tcaf_meta).predicted(tcaf_act)
+
     def _decode_frame(self, cif_field: np.ndarray, caf_field: np.ndarray):
         """One frame's static-shape pose decode (device)."""
         h, w = cif_field.shape[-2:]
@@ -144,6 +166,7 @@ class TrackingPose(Decoder):
         cif_pair = np.asarray(fields[self.cif_meta.head_index])
         caf_pair = np.asarray(fields[self.caf_meta.head_index])
         tcaf_field = np.asarray(fields[self.tcaf_meta.head_index])
+        self._debug_visualize_tcaf(tcaf_field)
 
         if self.frame_number == 0 or self.prev_xyv is None:
             self._start_tracks(self._decode_frame(cif_pair[0], caf_pair[0]))

@@ -65,6 +65,46 @@ def apply_jax2onnx(model, outfile: str, *, input_hw=(641, 641),
     LOG.info('wrote %s', outfile)
 
 
+def verify(model, outfile: str, *, input_hw=(641, 641),
+           atol: float = None) -> float:
+    """Parse the written artifact back and re-execute it against the flax
+    forward on random input (``onnx_native.execute_model``); returns the
+    max abs deviation and raises if it exceeds ``atol``.  In-environment
+    stand-in for the reference's onnxruntime check
+    (``src/openpifpaf/export_onnx.py:~60``).
+
+    The artifact always carries float32 weights; when the flax model
+    computes in bfloat16 (the default, ``--no-bf16`` to disable) the
+    comparison is f32-interpreter vs bf16-forward, so the default
+    tolerance widens to bf16 rounding scale."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import onnx_native
+
+    if atol is None:
+        dtype = getattr(model.module.basenet, 'dtype', jnp.float32)
+        atol = 1e-2 if dtype == jnp.bfloat16 else 1e-3
+
+    with open(outfile, 'rb') as f:
+        parsed = onnx_native.parse_model(f.read())
+    rng = np.random.default_rng(0)
+    x_nchw = rng.normal(size=(1, 3, *input_hw)).astype(np.float32)
+    got = onnx_native.execute_model(parsed, {'input': x_nchw})
+    want = model(x_nchw.transpose(0, 2, 3, 1))
+    max_dev = 0.0
+    for out_info, w in zip(parsed['outputs'], want):
+        dev = float(np.abs(got[out_info['name']] - np.asarray(w)).max())
+        max_dev = max(max_dev, dev)
+    LOG.info('verify: max abs deviation %.2e over %d outputs',
+             max_dev, len(parsed['outputs']))
+    if max_dev > atol:
+        raise ValueError(
+            f'ONNX verification failed: max deviation {max_dev:.2e} '
+            f'> atol {atol:.0e}')
+    return max_dev
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog='python -m openpifpaf_tpu.export_onnx', description=__doc__,
@@ -79,18 +119,23 @@ def main(argv=None) -> int:
     parser.add_argument('--via-jax2onnx', default=False, action='store_true',
                         help='use the optional jax2onnx package instead of '
                              'the native serializer')
+    parser.add_argument('--verify', default=False, action='store_true',
+                        help='[native exporter] re-execute the written '
+                             'artifact with the in-tree interpreter and '
+                             'compare against the flax forward')
     args = parser.parse_args(argv)
     logger.configure(args)
     models.Factory.configure(args)
 
     model = models.Factory().factory()
+    input_hw = (args.input_height, args.input_width)
     if args.via_jax2onnx:
-        apply_jax2onnx(model, args.outfile,
-                       input_hw=(args.input_height, args.input_width),
+        apply_jax2onnx(model, args.outfile, input_hw=input_hw,
                        opset=args.opset)
     else:
-        apply(model, args.outfile,
-              input_hw=(args.input_height, args.input_width))
+        apply(model, args.outfile, input_hw=input_hw)
+        if args.verify:
+            verify(model, args.outfile, input_hw=input_hw)
     return 0
 
 

@@ -589,6 +589,137 @@ class GraphBuilder:
         return self.mul(x, self.sigmoid(x))
 
 
+def execute_model(model_dict: Dict, inputs: Dict) -> Dict:
+    """Re-execute a parsed model (``parse_model`` output) on numpy inputs.
+
+    A reference interpreter for exactly the op set this exporter emits
+    (Conv, BatchNormalization, pools, elementwise, MatMul/Softmax,
+    reductions, Pad/Slice/Gather/Reshape/Transpose, DepthToSpace[CRD]).
+    Used by ``export_onnx --verify`` and the roundtrip parity tests to
+    validate artifacts in-environment without onnxruntime.  Reference
+    parity surface: the torch exporter leans on onnxruntime for the same
+    check (``src/openpifpaf/export_onnx.py:~60``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    env = dict(model_dict['initializers'])
+    env.update(inputs)
+
+    def conv(x, kernel, b, attrs):
+        strides = tuple(attrs['strides']['ints'])
+        pads = attrs['pads']['ints']
+        groups = int(attrs['group']['i'])
+        dil = tuple(attrs['dilations']['ints']) if 'dilations' in attrs \
+            else (1, 1)
+        out = jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(kernel), window_strides=strides,
+            padding=((pads[0], pads[2]), (pads[1], pads[3])),
+            rhs_dilation=dil,
+            feature_group_count=groups,
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+        if b is not None:
+            out = out + jnp.asarray(b)[None, :, None, None]
+        return np.asarray(out)
+
+    for n in model_dict['nodes']:
+        op = n['op_type']
+        ins = [env[i] if i else None for i in n['inputs']]
+        a = n['attrs']
+        if op == 'Conv':
+            out = conv(ins[0], ins[1], ins[2] if len(ins) > 2 else None, a)
+        elif op == 'BatchNormalization':
+            x, scale, bias, mean, var = ins
+            eps = a['epsilon']['f']
+            out = ((x - mean[None, :, None, None])
+                   / np.sqrt(var[None, :, None, None] + eps)
+                   * scale[None, :, None, None]
+                   + bias[None, :, None, None])
+        elif op == 'Relu':
+            out = np.maximum(ins[0], 0.0)
+        elif op == 'Sigmoid':
+            out = 1.0 / (1.0 + np.exp(-ins[0].astype(np.float64)))
+        elif op == 'Mul':
+            out = ins[0] * ins[1]
+        elif op == 'GlobalAveragePool':
+            out = ins[0].mean(axis=(2, 3), keepdims=True)
+        elif op == 'MatMul':
+            out = np.matmul(ins[0], ins[1])
+        elif op == 'Softmax':
+            ax = int(a['axis']['i'])
+            e = np.exp(ins[0] - ins[0].max(axis=ax, keepdims=True))
+            out = e / e.sum(axis=ax, keepdims=True)
+        elif op == 'AveragePool':
+            assert int(a['count_include_pad']['i']) == 1
+            k = tuple(a['kernel_shape']['ints'])
+            s = tuple(a['strides']['ints'])
+            p = a['pads']['ints']
+            summed = jax.lax.reduce_window(
+                jnp.asarray(ins[0]), 0.0, jax.lax.add,
+                (1, 1, *k), (1, 1, *s),
+                ((0, 0), (0, 0), (p[0], p[2]), (p[1], p[3])))
+            out = np.asarray(summed) / float(k[0] * k[1])
+        elif op == 'Clip':
+            out = np.clip(ins[0], ins[1], ins[2])
+        elif op == 'Add':
+            out = ins[0] + ins[1]
+        elif op == 'MaxPool':
+            k = tuple(a['kernel_shape']['ints'])
+            s = tuple(a['strides']['ints'])
+            p = a['pads']['ints']
+            out = np.asarray(jax.lax.reduce_window(
+                jnp.asarray(ins[0]), -jnp.inf, jax.lax.max,
+                (1, 1, *k), (1, 1, *s),
+                ((0, 0), (0, 0), (p[0], p[2]), (p[1], p[3]))))
+        elif op == 'Concat':
+            out = np.concatenate(ins, axis=int(a['axis']['i']))
+        elif op == 'Slice':
+            x, starts, ends, axes = ins[:4]
+            steps = ins[4] if len(ins) > 4 else np.ones_like(starts)
+            slices = [slice(None)] * x.ndim
+            for s, e, ax, st in zip(starts, ends, axes, steps):
+                e = None if e == np.iinfo(np.int64).max else int(e)
+                slices[int(ax)] = slice(int(s), e, int(st))
+            out = x[tuple(slices)]
+        elif op == 'Sub':
+            out = ins[0] - ins[1]
+        elif op == 'Div':
+            out = ins[0] / ins[1]
+        elif op == 'Sqrt':
+            out = np.sqrt(ins[0])
+        elif op == 'Tanh':
+            out = np.tanh(ins[0])
+        elif op == 'ReduceSum':
+            out = ins[0].sum(axis=tuple(int(i) for i in ins[1]),
+                             keepdims=bool(a['keepdims']['i']))
+        elif op == 'Gather':
+            out = np.take(ins[0], ins[1], axis=int(a['axis']['i']))
+        elif op == 'ReduceMean':
+            axes = tuple(a['axes']['ints'])
+            out = ins[0].mean(axis=axes, keepdims=bool(a['keepdims']['i']))
+        elif op == 'Pad':
+            assert a['mode']['s'] == 'constant'
+            pads, r = ins[1], ins[0].ndim
+            out = np.pad(ins[0], [(int(pads[i]), int(pads[i + r]))
+                                  for i in range(r)])
+        elif op == 'Reshape':
+            out = ins[0].reshape([int(d) for d in ins[1]])
+        elif op == 'Transpose':
+            out = np.transpose(ins[0], a['perm']['ints'])
+        elif op == 'DepthToSpace':
+            assert a['mode']['s'] == 'CRD'
+            b_ = int(a['blocksize']['i'])
+            n_, c, h, w = ins[0].shape
+            out = ins[0].reshape(n_, c // (b_ * b_), b_, b_, h, w)
+            out = out.transpose(0, 1, 4, 2, 5, 3)
+            out = out.reshape(n_, c // (b_ * b_), h * b_, w * b_)
+        else:
+            raise NotImplementedError(op)
+        env[n['outputs'][0]] = np.asarray(out, np.float32)
+
+    return {o['name']: env[o['name']] for o in model_dict['outputs']}
+
+
 def _require(condition, message):
     if not condition:
         raise NotImplementedError(message)

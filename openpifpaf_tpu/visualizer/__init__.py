@@ -13,9 +13,10 @@ from .cifdet import CifDet
 from .cifhr import CifHr
 from .occupancy import Occupancy
 from .seeds import Seeds
+from .tcaf import Tcaf
 
 __all__ = ['Base', 'Caf', 'Cif', 'CifDet', 'CifHr', 'Occupancy', 'Seeds',
-           'cli', 'configure']
+           'Tcaf', 'cli', 'configure']
 
 
 def cli(parser):

@@ -147,6 +147,30 @@ class TestTrackingPose:
         paint_tcaf(tcaf_field, kp1, kp2, scales, 16)
         return [np.stack([cif1, cif2]), np.stack([caf1, caf2]), tcaf_field]
 
+    def test_tcaf_debug_view(self, tmp_path):
+        """--debug-indices tcaf:N renders the temporal association view
+        from inside the tracking decode (visualizer/tcaf.py)."""
+        import matplotlib
+
+        matplotlib.use('Agg')
+        from openpifpaf_tpu import visualizer
+
+        dec = self.make_decoder()
+        kp1, scales = synthetic_pose()
+        kp2 = kp1.copy()
+        kp2[:, 0] += 24.0
+
+        visualizer.Base.save_dir = str(tmp_path)
+        visualizer.Base._save_counter = 0
+        visualizer.Base.set_all_indices(['tcaf:2'])
+        try:
+            dec(self.pair_fields(kp1, kp2, scales))
+        finally:
+            visualizer.Base.save_dir = None
+            visualizer.Base.set_all_indices([])
+            visualizer.Base.reset()
+        assert len(list(tmp_path.iterdir())) == 2   # confidence + arrows
+
     def test_id_persists(self):
         dec = self.make_decoder()
         kp1, scales = synthetic_pose()

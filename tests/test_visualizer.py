@@ -79,6 +79,19 @@ def test_caf_predicted(_save_dir):
     assert n_saved(_save_dir) == 2
 
 
+def test_tcaf_predicted(_save_dir):
+    visualizer.Base.set_all_indices(['tcaf:2'])
+    meta = headmeta.Tcaf('tcaf', 'cocokp',
+                         keypoints=constants.COCO_KEYPOINTS,
+                         sigmas=constants.COCO_PERSON_SIGMAS)
+    meta.base_stride = 16
+    v = visualizer.Tcaf(meta)
+    field = np.random.default_rng(0).uniform(0, 1, (17, 9, 9, 9)).astype(
+        np.float32)
+    v.predicted(field)
+    assert n_saved(_save_dir) == 2
+
+
 def test_cifhr_seeds_occupancy(_save_dir):
     visualizer.Base.set_all_indices(['cifhr:0', 'seeds', 'occupancy:0'])
     hr = visualizer.CifHr(make_cif_meta())
