@@ -91,7 +91,12 @@ def verify(model, outfile: str, *, input_hw=(641, 641),
     rng = np.random.default_rng(0)
     x_nchw = rng.normal(size=(1, 3, *input_hw)).astype(np.float32)
     got = onnx_native.execute_model(parsed, {'input': x_nchw})
-    want = model(x_nchw.transpose(0, 2, 3, 1))
+    # jit the flax forward: eager per-op dispatch is pathological on a
+    # tunneled TPU backend (see CLAUDE.md)
+    import jax
+    fwd = jax.jit(
+        lambda x: model.apply(model.variables, x, train=False))
+    want = fwd(x_nchw.transpose(0, 2, 3, 1))
     max_dev = 0.0
     for out_info, w in zip(parsed['outputs'], want):
         dev = float(np.abs(got[out_info['name']] - np.asarray(w)).max())
