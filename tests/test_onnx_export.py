@@ -113,6 +113,27 @@ def test_mobilenet_squeezenet_roundtrip(base):
         np.testing.assert_allclose(gv, np.asarray(w), atol=3e-4, rtol=1e-3)
 
 
+def test_cifdet_head_roundtrip():
+    """Head emission is meta-generic: a CifDet (detection) head exports
+    and re-executes like the keypoint heads."""
+    import jax
+
+    cifdet = headmeta.CifDet('cifdet', 'testexport',
+                             categories=['person', 'car', 'dog'])
+    factory = models.Factory(base_name='shufflenetv2k16', bf16=False)
+    model = factory.from_scratch('shufflenetv2k16', [cifdet])
+    model.init(jax.random.key(0), input_hw=(49, 49))
+    parsed = parse_model(build_model_graph(model, input_hw=(49, 49)))
+    rng = np.random.default_rng(0)
+    x_nchw = rng.normal(size=(1, 3, 49, 49)).astype(np.float32)
+    got = run_onnx(parsed, {'input': x_nchw})
+    (want,) = model(x_nchw.transpose(0, 2, 3, 1))
+    (out_info,) = parsed['outputs']
+    gv = got[out_info['name']]
+    assert gv.shape == tuple(np.asarray(want).shape)
+    np.testing.assert_allclose(gv, np.asarray(want), atol=2e-4, rtol=1e-3)
+
+
 def test_unsupported_basenet_raises():
     class FakeModule:
         basenet = object()
