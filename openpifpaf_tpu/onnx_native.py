@@ -1613,10 +1613,12 @@ def _emit_squeezenet(g: GraphBuilder, basenet, params, stats, input_hw):
 
 
 def build_model_graph(model, *, input_hw=(641, 641)) -> bytes:
-    """Serialize a Model (ShuffleNetV2/V2K or ResNet backbone +
+    """Serialize a Model (any registered basenet family +
     CompositeField4 heads) to ONNX bytes.  Input 'input': (1, 3, H, W)
     NCHW float32; one output per head named after its meta, shaped
-    (1, F, C, H', W') like the flax forward."""
+    (1, F, C, H', W') like the flax forward.  All size variants of each
+    family share a config-driven emitter (spot-checked up to
+    effnetv2m / swin_b / hrformer_b / xcit_medium_24)."""
     from .models.botnet import BotNet
     from .models.effnetv2 import EffNetV2
     from .models.mobilenet import MobileNetV2, MobileNetV3
