@@ -153,6 +153,13 @@ def run_smoke() -> dict:
             loaded, _ = convert_and_load(path, basenet='shufflenetv2k16',
                                          out_dir=tmp)
             results[name] = max_field_diff(model, loaded)
+
+        # ONNX leg: a converted checkpoint exports and self-verifies
+        from openpifpaf_tpu import export_onnx
+        onnx_path = os.path.join(tmp, 'converted.onnx')
+        export_onnx.apply(loaded, onnx_path, input_hw=(65, 65))
+        results['onnx_verify_max_dev'] = export_onnx.verify(
+            loaded, onnx_path, input_hw=(65, 65))
     return results
 
 
@@ -171,7 +178,10 @@ def main(argv=None) -> int:
 
     if args.smoke:
         results = run_smoke()
-        ok = all(d == 0.0 for d in results.values())
+        # conversion must be lossless; the ONNX leg is f32-interpreter vs
+        # flax forward (export_onnx.verify already raised if out of tol)
+        ok = all(d == 0.0 for k, d in results.items()
+                 if k != 'onnx_verify_max_dev')
         print(json.dumps({'smoke': results, 'ok': ok}))
         return 0 if ok else 1
 
@@ -188,6 +198,13 @@ def main(argv=None) -> int:
     model, npz = convert_and_load(ckpt, basenet=args.basenet,
                                   out_dir=args.out_dir)
     print(f'converted checkpoint: {npz}')
+
+    # ONNX export + self-verification of the converted checkpoint
+    from openpifpaf_tpu import export_onnx
+    onnx_path = os.path.splitext(npz)[0] + '.onnx'
+    export_onnx.apply(model, onnx_path, input_hw=(129, 129))
+    dev = export_onnx.verify(model, onnx_path, input_hw=(129, 129))
+    print(f'onnx export verified: {onnx_path} (max dev {dev:.2e})')
 
     diffs = compare_to_reference_forward(model, ckpt)
     if diffs is not None:
