@@ -28,9 +28,12 @@ def tool():
 
 def test_smoke_all_container_formats(tool):
     results = tool.run_smoke()
-    assert set(results) == {'state_dict', 'dict_with_model', 'whole_module'}
-    for name, diff in results.items():
-        assert diff == 0.0, (name, diff)
+    assert set(results) == {'state_dict', 'dict_with_model', 'whole_module',
+                            'onnx_verify_max_dev'}
+    for name in ('state_dict', 'dict_with_model', 'whole_module'):
+        assert results[name] == 0.0, (name, results[name])
+    # f32 interpreter vs flax forward on the converted checkpoint
+    assert results['onnx_verify_max_dev'] < 1e-3
 
 
 def test_checkpoint_search_reports_empty_mount(tool):
