@@ -97,6 +97,11 @@ def verify(model, outfile: str, *, input_hw=(641, 641),
     fwd = jax.jit(
         lambda x: model.apply(model.variables, x, train=False))
     want = fwd(x_nchw.transpose(0, 2, 3, 1))
+    if len(parsed['outputs']) != len(want):
+        raise ValueError(
+            f"ONNX artifact has {len(parsed['outputs'])} outputs but the "
+            f'flax forward produced {len(want)} — a head was dropped by '
+            'the graph builder')
     max_dev = 0.0
     for out_info, w in zip(parsed['outputs'], want):
         dev = float(np.abs(got[out_info['name']] - np.asarray(w)).max())

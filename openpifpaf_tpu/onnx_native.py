@@ -854,7 +854,7 @@ def _emit_resnet(g: GraphBuilder, basenet, params, stats, input_hw):
 
 
 def _emit_mhsa(g: GraphBuilder, x: str, p: Dict, name: str, *,
-               dim: int, h: int, w: int, num_heads: int = 4) -> str:
+               dim: int, h: int, w: int) -> str:
     """BoTNet all2all attention (``models/botnet.py::MHSA2D``) at a static
     export shape: the relative position embeddings are resized to the
     feature map with the SAME ``jax.image.resize`` call the flax module
@@ -863,6 +863,10 @@ def _emit_mhsa(g: GraphBuilder, x: str, p: Dict, name: str, *,
     import jax
     import jax.numpy as jnp
 
+    # head count from the checkpoint itself (rel_h is (num_heads, head_dim,
+    # base)); a hardcoded default would silently mis-export a BotNet variant
+    # configured with a different num_heads.
+    num_heads = int(np.asarray(p['rel_h']).shape[0])
     head_dim = dim // num_heads
     n = h * w
     scale = float(head_dim) ** -0.5

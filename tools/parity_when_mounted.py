@@ -147,19 +147,23 @@ def run_smoke() -> dict:
             'dict_with_model': {'model': tensors, 'epoch': 7},
             'whole_module': _StateDictCarrier(tensors),
         }
+        onnx_candidate = None
         for name, payload in containers.items():
             path = os.path.join(tmp, f'{name}.pt')
             torch.save(payload, path)
             loaded, _ = convert_and_load(path, basenet='shufflenetv2k16',
                                          out_dir=tmp)
             results[name] = max_field_diff(model, loaded)
+            if name == 'state_dict':
+                onnx_candidate = loaded
 
-        # ONNX leg: a converted checkpoint exports and self-verifies
+        # ONNX leg: a converted checkpoint (explicitly the plain
+        # state_dict one) exports and self-verifies
         from openpifpaf_tpu import export_onnx
         onnx_path = os.path.join(tmp, 'converted.onnx')
-        export_onnx.apply(loaded, onnx_path, input_hw=(65, 65))
+        export_onnx.apply(onnx_candidate, onnx_path, input_hw=(65, 65))
         results['onnx_verify_max_dev'] = export_onnx.verify(
-            loaded, onnx_path, input_hw=(65, 65))
+            onnx_candidate, onnx_path, input_hw=(65, 65))
     return results
 
 
