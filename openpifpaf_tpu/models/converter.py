@@ -51,6 +51,12 @@ def _translate_shufflenet(key: str) -> Tuple[str, str]:
     if m:
         conv_i, seq_i, leaf = m.groups()
         if seq_i == '0':
+            # conv slot of the Sequential: only a kernel lives here.  A
+            # wildcard here would let to_torch_state_dict's candidate probe
+            # name conv kernels e.g. 'conv1.0.running_var' (caught by the
+            # independent-torch cross-validation, tests/test_torch_crossval).
+            if leaf != 'weight':
+                raise KeyError(key)
             return 'params', f'conv{conv_i}/kernel'
         return _bn_leaf(f'conv{conv_i}_norm', leaf)
     m = re.match(r'stage(\d)\.(\d+)\.branch(\d)\.(\d)\.(\w+)$', key)
@@ -71,6 +77,8 @@ def _translate_shufflenet(key: str) -> Tuple[str, str]:
                      '6': ('bn', 'branch2_norm2')}
         kind, name = names[seq_i]
         if kind == 'conv':
+            if leaf != 'weight':
+                raise KeyError(key)
             return 'params', f'{prefix}/{name}/kernel'
         return _bn_leaf(f'{prefix}/{name}', leaf)
     raise KeyError(key)
