@@ -19,24 +19,106 @@ Used by ``tests/test_drift.py`` (CI gate) and ``tools/drift_report.py``
 """
 
 import dataclasses
+from typing import Optional, Sequence
 
 import numpy as np
 
+from openpifpaf_tpu import headmeta
 from openpifpaf_tpu.ops import growth, pipeline, sequential_oracle
 from openpifpaf_tpu.plugins.coco import constants
 
-from test_decoder import build_fields, metas
+from test_decoder import paint_cif, paint_caf
 
 SIGMAS = np.asarray(constants.COCO_PERSON_SIGMAS, np.float32)
 SCORE_WEIGHTS = np.asarray(constants.COCO_PERSON_SCORE_WEIGHTS, np.float32)
 IMAGE_HW = (961, 961)   # 61x61 field grid at stride 16
 GRID_HW = (61, 61)
-_HFLIP_PERM = np.asarray([
-    constants.COCO_KEYPOINTS.index(constants.HFLIP.get(name, name))
-    for name in constants.COCO_KEYPOINTS], np.int32)
 
 
-def harness_config(max_poses: int = 128,
+def _hflip_perm(keypoints, hflip):
+    return np.asarray([keypoints.index(hflip.get(name, name))
+                       for name in keypoints], np.int32)
+
+
+@dataclasses.dataclass
+class SceneSpec:
+    """Keypoint-family parameters of the harness (VERDICT r3 #7: the drift
+    evidence must cover arbitrary head metas, not just COCO-17)."""
+
+    name: str
+    keypoints: Sequence[str]
+    sigmas: np.ndarray
+    score_weights: np.ndarray
+    skeleton: Sequence            # 1-based joint index pairs
+    upright_pose: np.ndarray      # (K, 3)
+    hflip_perm: Optional[np.ndarray] = None
+    image_hw: tuple = IMAGE_HW
+    grid_hw: tuple = GRID_HW
+    # person pixel-scale range: wholebody needs larger figures so the
+    # face/hand keypoint clusters resolve to distinct feature cells
+    scale_range: tuple = (8.0, 22.0)
+
+    @property
+    def n_keypoints(self):
+        return len(self.keypoints)
+
+
+COCO_SPEC = SceneSpec(
+    name='coco',
+    keypoints=constants.COCO_KEYPOINTS,
+    sigmas=SIGMAS,
+    score_weights=SCORE_WEIGHTS,
+    skeleton=constants.COCO_PERSON_SKELETON,
+    upright_pose=constants.COCO_UPRIGHT_POSE,
+    hflip_perm=_hflip_perm(constants.COCO_KEYPOINTS, constants.HFLIP),
+)
+
+_HFLIP_PERM = COCO_SPEC.hflip_perm     # back-compat
+
+
+def wholebody_spec() -> SceneSpec:
+    """133 keypoints / 129 edges — the deep-limb-chain budget stress."""
+    from openpifpaf_tpu.plugins.wholebody import constants as wb
+
+    return SceneSpec(
+        name='wholebody',
+        keypoints=list(wb.KEYPOINTS),
+        sigmas=np.asarray(wb.SIGMAS, np.float32),
+        score_weights=np.ones(len(wb.KEYPOINTS), np.float32),
+        skeleton=wb.SKELETON,
+        upright_pose=np.asarray(wb.UPRIGHT_POSE, np.float32),
+        hflip_perm=_hflip_perm(list(wb.KEYPOINTS), wb.HFLIP),
+        scale_range=(28.0, 64.0),
+    )
+
+
+def metas_for(spec: SceneSpec):
+    cif_meta = headmeta.Cif(
+        'cif', spec.name, keypoints=list(spec.keypoints),
+        sigmas=list(np.asarray(spec.sigmas, np.float32)),
+        score_weights=list(np.asarray(spec.score_weights, np.float32)))
+    caf_meta = headmeta.Caf(
+        'caf', spec.name, keypoints=list(spec.keypoints),
+        sigmas=list(np.asarray(spec.sigmas, np.float32)),
+        skeleton=spec.skeleton)
+    return cif_meta, caf_meta
+
+
+def build_fields(poses_and_scales, h=GRID_HW[0], w=GRID_HW[1], stride=16,
+                 spec: SceneSpec = COCO_SPEC):
+    """Paint raw CIF/CAF fields for any keypoint family."""
+    cif = np.zeros((spec.n_keypoints, 5, h, w), np.float32)
+    caf = np.zeros((len(spec.skeleton), 9, h, w), np.float32)
+    cif[:, 0] = -10.0
+    caf[:, 0] = -10.0
+    for kp, scales in poses_and_scales:
+        paint_cif(cif, kp, scales, stride)
+        paint_caf(caf, kp, scales, spec.skeleton, stride)
+    return cif, caf
+
+
+def harness_config(max_poses: int = 128, *, image_hw=IMAGE_HW,
+                   max_seeds: int = 1024, max_candidates: int = 512,
                    **growth_updates) -> pipeline.CifCafConfig:
     """Production defaults with budgets raised so static-budget overflow
     (which hits both paths identically) does not mask scheduling drift at
@@ -52,18 +134,18 @@ def harness_config(max_poses: int = 128,
     the comparison to measure scheduling rather than slot exhaustion
     (measured: 55-pose noisy scenes F1 0.960 at 128 -> 0.996 at 256; the
     production counter for this is ``n_dropped_poses``)."""
-    config = pipeline.CifCafConfig(stride=16, image_hw=IMAGE_HW)
+    config = pipeline.CifCafConfig(stride=16, image_hw=image_hw)
     growth_config = dataclasses.replace(config.growth, max_poses=max_poses,
                                         **growth_updates)
     caf_fc = None
     if growth_config.force_complete:
         caf_fc = dataclasses.replace(
             config.caf, score_th=growth_config.force_complete_threshold,
-            max_candidates=2 * 512)
+            max_candidates=2 * max_candidates)
     config = dataclasses.replace(
         config,
-        seeds=dataclasses.replace(config.seeds, max_seeds=1024),
-        caf=dataclasses.replace(config.caf, max_candidates=512),
+        seeds=dataclasses.replace(config.seeds, max_seeds=max_seeds),
+        caf=dataclasses.replace(config.caf, max_candidates=max_candidates),
         caf_fc=caf_fc,
         growth=growth_config,
     )
@@ -74,42 +156,48 @@ def harness_config(max_poses: int = 128,
 # scene generation
 # ---------------------------------------------------------------------------
 
-def random_scene(rng: np.random.Generator, n_poses: int):
+def random_scene(rng: np.random.Generator, n_poses: int,
+                 spec: SceneSpec = COCO_SPEC):
     """n_poses clustered, scale-varied, partially occluded upright poses.
 
-    Returns a list of (kp (17,3) px, scales (17,) px) painting inputs.
+    Returns a list of (kp (K,3) px, scales (K,) px) painting inputs.
     Clustering forces overlap (the occupancy-order regime); random hflip
     and per-joint jitter vary the geometry.
     """
-    h, w = IMAGE_HW
+    h, w = spec.image_hw
+    n_kp = spec.n_keypoints
+    pose_y_top = float(spec.upright_pose[:, 1].max())
+    pose_y_half = (pose_y_top - float(spec.upright_pose[:, 1].min())) / 2.0
     n_clusters = max(1, int(np.ceil(n_poses / 6)))
     clusters = rng.uniform(150, min(h, w) - 150, size=(n_clusters, 2))
     poses = []
     for _ in range(n_poses):
-        scale = float(rng.uniform(8.0, 22.0))
+        scale = float(rng.uniform(*spec.scale_range))
         cx, cy = clusters[int(rng.integers(n_clusters))]
         cx += float(rng.normal(0, 70.0))
         cy += float(rng.normal(0, 70.0))
 
-        unit = constants.COCO_UPRIGHT_POSE.copy()   # x in +-1.75, y in 0..9.7
-        if rng.uniform() < 0.5:
-            unit = unit[_HFLIP_PERM]
+        unit = np.asarray(spec.upright_pose, np.float32).copy()
+        if spec.hflip_perm is not None and rng.uniform() < 0.5:
+            unit = unit[spec.hflip_perm]
             unit[:, 0] = -unit[:, 0]
-        kp = np.zeros((17, 3), np.float32)
+        kp = np.zeros((n_kp, 3), np.float32)
         kp[:, 0] = unit[:, 0] * scale + cx
-        kp[:, 1] = (9.7 - unit[:, 1]) * scale + cy - 4.85 * scale
-        kp[:, :2] += rng.normal(0, 0.06 * scale, size=(17, 2))
+        kp[:, 1] = (pose_y_top - unit[:, 1]) * scale + cy \
+            - pose_y_half * scale
+        kp[:, :2] += rng.normal(0, 0.06 * scale, size=(n_kp, 2))
         kp[:, 0] = np.clip(kp[:, 0], 8.0, w - 9.0)
         kp[:, 1] = np.clip(kp[:, 1], 8.0, h - 9.0)
         kp[:, 2] = 2.0
 
         # partial occlusion: drop a random subset of joints
         if rng.uniform() < 0.4:
-            n_drop = int(rng.integers(3, 11))
-            drop = rng.choice(17, size=n_drop, replace=False)
+            n_drop = int(rng.integers(3, max(4, (n_kp * 10) // 17)))
+            drop = rng.choice(n_kp, size=n_drop, replace=False)
             kp[drop, 2] = 0.0
 
-        scales = np.maximum(4.0, SIGMAS * scale * 4)
+        scales = np.maximum(4.0, np.asarray(spec.sigmas, np.float32)
+                            * scale * 4)
         poses.append((kp, scales))
     return poses
 
@@ -214,12 +302,17 @@ def apply_field_noise(cif: np.ndarray, caf: np.ndarray,
 class Harness:
     """Compiled-once front-end + production back-end + oracle runner."""
 
-    def __init__(self, config: pipeline.CifCafConfig = None):
+    def __init__(self, config: pipeline.CifCafConfig = None,
+                 spec: SceneSpec = COCO_SPEC):
         import jax
 
-        self.config = config or harness_config()
-        self.cif_meta, self.caf_meta = metas()
+        self.spec = spec
+        self.config = config or harness_config(image_hw=spec.image_hw)
+        self.cif_meta, self.caf_meta = metas_for(spec)
         self.skeleton = np.asarray(self.caf_meta.skeleton, np.int32) - 1
+        n_kp = spec.n_keypoints
+        score_weights = np.asarray(spec.score_weights, np.float32)
+        self.n_keypoints = n_kp
         edges = growth.directed_edges(self.skeleton)
         cfg = self.config
 
@@ -232,19 +325,19 @@ class Harness:
         @jax.jit
         def back(fe):
             poses, placed, pose_valid, _, _, seed_f = growth.init_poses(
-                fe.sds, n_keypoints=17, config=cfg.growth)
+                fe.sds, n_keypoints=n_kp, config=cfg.growth)
             poses, placed = growth.grow(poses, placed, pose_valid, fe.cands,
                                         edges, cfg.growth,
                                         force_cand=fe.cands_fc)
             return pipeline.finalize_poses(
                 poses, placed, pose_valid, fe.scale_px,
-                score_weights=SCORE_WEIGHTS, config=cfg, seed_f=seed_f)
+                score_weights=score_weights, config=cfg, seed_f=seed_f)
 
         @jax.jit
         def finalize(poses, placed, pose_valid, scale_px):
             return pipeline.finalize_poses(
                 poses, placed, pose_valid, scale_px,
-                score_weights=SCORE_WEIGHTS, config=cfg)
+                score_weights=score_weights, config=cfg)
 
         self._front = front
         self._back = back
@@ -253,8 +346,9 @@ class Harness:
     def decode_both(self, scene, noise: FieldNoise = None,
                     noise_rng: np.random.Generator = None):
         """scene: list of (kp, scales) -> (parallel poses, oracle poses),
-        each a score-descending list of (xyv (17,3), score)."""
-        cif, caf = build_fields(scene, h=GRID_HW[0], w=GRID_HW[1])
+        each a score-descending list of (xyv (K,3), score)."""
+        cif, caf = build_fields(scene, h=self.spec.grid_hw[0],
+                                w=self.spec.grid_hw[1], spec=self.spec)
         if noise is not None:
             apply_field_noise(cif, caf, noise_rng or np.random.default_rng(0),
                               noise)
@@ -265,12 +359,12 @@ class Harness:
                             np.asarray(p_valid))
 
         o_list = sequential_oracle.decode_sequential(
-            fe.sds, fe.cands, self.skeleton, n_keypoints=17,
+            fe.sds, fe.cands, self.skeleton, n_keypoints=self.n_keypoints,
             image_hw=self.config.image_hw, config=self.config.growth,
             force_cand=fe.cands_fc)
         p_budget = self.config.growth.max_poses
-        o_poses = np.zeros((p_budget, 17, 4), np.float32)
-        o_placed = np.zeros((p_budget, 17), bool)
+        o_poses = np.zeros((p_budget, self.n_keypoints, 4), np.float32)
+        o_placed = np.zeros((p_budget, self.n_keypoints), bool)
         o_valid = np.zeros(p_budget, bool)
         for i, pose in enumerate(o_list[:p_budget]):
             o_poses[i] = pose
@@ -294,7 +388,7 @@ def _extract(poses, scores, valid):
 # agreement metrics
 # ---------------------------------------------------------------------------
 
-def oks(ref_xyv, other_xyv):
+def oks(ref_xyv, other_xyv, sigmas: np.ndarray = SIGMAS):
     """OKS of ``other`` against ``ref`` (visible-in-ref joints)."""
     vis = ref_xyv[:, 2] > 0
     if vis.sum() == 0:
@@ -302,11 +396,12 @@ def oks(ref_xyv, other_xyv):
     x, y = ref_xyv[vis, 0], ref_xyv[vis, 1]
     area = max(float((x.max() - x.min()) * (y.max() - y.min())), 1.0)
     d2 = ((ref_xyv[:, :2] - other_xyv[:, :2]) ** 2).sum(-1)
-    e = d2 / (2.0 * area * (2.0 * SIGMAS) ** 2)
+    e = d2 / (2.0 * area * (2.0 * sigmas) ** 2)
     return float(np.exp(-e)[vis].mean())
 
 
-def scene_agreement(parallel, oracle, *, oks_match: float = 0.5):
+def scene_agreement(parallel, oracle, *, oks_match: float = 0.5,
+                    sigmas: np.ndarray = SIGMAS):
     """Greedy OKS matching (oracle score order); per-scene metrics dict."""
     used = set()
     matched = []
@@ -315,7 +410,7 @@ def scene_agreement(parallel, oracle, *, oks_match: float = 0.5):
         for pi, (p_xyv, _) in enumerate(parallel):
             if pi in used:
                 continue
-            v = oks(o_xyv, p_xyv)
+            v = oks(o_xyv, p_xyv, sigmas)
             if v > best_oks:
                 best, best_oks = pi, v
         if best is not None:
@@ -342,12 +437,13 @@ def run_scenes(harness: Harness, seeds_and_densities,
                noise: FieldNoise = None):
     """[(seed, n_poses), ...] -> list of per-scene metrics dicts."""
     results = []
+    sigmas = np.asarray(harness.spec.sigmas, np.float32)
     for seed, n_poses in seeds_and_densities:
         rng = np.random.default_rng(seed)
-        scene = random_scene(rng, n_poses)
+        scene = random_scene(rng, n_poses, spec=harness.spec)
         parallel, oracle = harness.decode_both(scene, noise=noise,
                                                noise_rng=rng)
-        m = scene_agreement(parallel, oracle)
+        m = scene_agreement(parallel, oracle, sigmas=sigmas)
         m['seed'] = seed
         m['n_poses'] = n_poses
         results.append(m)

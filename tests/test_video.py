@@ -66,6 +66,34 @@ def test_video_frames_json(tracking_setup, tmp_path):
     assert all('predictions' in line for line in lines)
 
 
+def test_video_cv2_capture(tracking_setup, tmp_path):
+    """The OpenCV capture branch of FrameReader end to end (VERDICT r3 #5):
+    synthesize a short .avi with cv2.VideoWriter and run the CLI on it.
+    Reference: ``src/openpifpaf/video.py:~30`` (cv2.VideoCapture source)."""
+    cv2 = pytest.importorskip('cv2')
+    ckpt, _ = tracking_setup
+
+    avi = str(tmp_path / 'clip.avi')
+    writer = cv2.VideoWriter(avi, cv2.VideoWriter_fourcc(*'MJPG'), 5.0,
+                             (120, 80))
+    assert writer.isOpened(), 'cv2.VideoWriter failed to open (codec?)'
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        writer.write(rng.integers(0, 255, (80, 120, 3), np.uint8))
+    writer.release()
+
+    json_out = tmp_path / 'preds_avi.jsonl'
+    result = _run_cli(['--source', avi, '--checkpoint', ckpt,
+                       '--long-edge', '81',
+                       '--start-frame', '1', '--skip-frames', '2',
+                       '--json-output', str(json_out)])
+    assert result.returncode == 0, result.stderr[-2000:]
+    lines = [json.loads(line) for line in json_out.read_text().splitlines()]
+    # frames 1 and 3 of 0..4 (start 1, stride 2; frame 5 does not exist)
+    assert [line['frame'] for line in lines] == [1, 3]
+    assert all('predictions' in line for line in lines)
+
+
 def test_checkpoint_roundtrip_tracking(tracking_setup):
     ckpt, _ = tracking_setup
     from openpifpaf_tpu.models.tracking_base import TrackingModel

@@ -43,16 +43,40 @@ def main():
                              '--noise: duplicate seeds occupy slots before '
                              'seed-claim suppression kills them, see '
                              'drift_harness.harness_config)')
+    parser.add_argument('--max-seeds', type=int, default=None,
+                        help='seed budget (default 1024; wholebody 4096)')
+    parser.add_argument('--spec', default='coco',
+                        choices=('coco', 'wholebody'),
+                        help='keypoint family (wholebody: 133 kp/129 edges, '
+                             'VERDICT r3 #7)')
+    parser.add_argument('--max-density', type=int, default=None,
+                        help='max poses per scene (default 60; wholebody '
+                             'default 16 -- 133-kp scenes saturate the '
+                             '61x61 grid much earlier)')
     args = parser.parse_args()
 
+    spec = (dh.wholebody_spec() if args.spec == 'wholebody'
+            else dh.COCO_SPEC)
+    max_density = args.max_density or (16 if args.spec == 'wholebody' else 60)
     max_poses = args.max_poses or (256 if args.noise else 128)
-    config = dh.harness_config(max_poses=max_poses,
+    max_seeds = args.max_seeds or (4096 if args.spec == 'wholebody'
+                                   else 1024)
+    config = dh.harness_config(max_poses=max_poses, max_seeds=max_seeds,
                                force_complete=args.force_complete)
-    harness = dh.Harness(config)
-    noise = dh.FieldNoise() if args.noise else None
+    harness = dh.Harness(config, spec=spec)
+    noise = None
+    if args.noise:
+        # wholebody: COCO-default noise magnitudes sever the deep face/hand
+        # chains entirely (both decoders agree on zero poses); milder noise
+        # keeps scenes decodable while still jittering across thresholds
+        noise = (dh.FieldNoise(conf_logit_sigma=0.35,
+                               peak_conf_range=(0.6, 1.0), offset_sigma=0.08,
+                               spurious_blobs=60, spurious_caf=60)
+                 if args.spec == 'wholebody' else dh.FieldNoise())
 
     rng = np.random.default_rng(20260819)
-    jobs = [(int(rng.integers(2 ** 31)), int(rng.integers(5, 61)))
+    jobs = [(int(rng.integers(2 ** 31)),
+             int(rng.integers(max(2, max_density // 12), max_density + 1)))
             for _ in range(args.scenes)]
 
     t0 = time.perf_counter()
@@ -65,8 +89,12 @@ def main():
                   flush=True)
 
     overall = dh.aggregate(results)
+    buckets = (BUCKETS if max_density >= 60 else
+               ((2, max_density // 3),
+                (max_density // 3 + 1, 2 * max_density // 3),
+                (2 * max_density // 3 + 1, max_density)))
     rows = []
-    for lo, hi in BUCKETS:
+    for lo, hi in buckets:
         bucket = [r for r in results if lo <= r['n_poses'] <= hi]
         if bucket:
             rows.append(((lo, hi), dh.aggregate(bucket)))
@@ -86,9 +114,11 @@ def main():
             'seed-claim suppression vs the reference\'s\nsequential seed '
             'loop + occupancy grid, `cifcaf.cpp:~140`). Poses matched by\n'
             'OKS >= 0.5 greedily in oracle score order.\n\n')
-        f.write(f'- scenes: {overall["n_scenes"]}, force_complete: '
+        f.write(f'- spec: {spec.name} ({spec.n_keypoints} kp, '
+                f'{len(spec.skeleton)} edges), scenes: '
+                f'{overall["n_scenes"]}, force_complete: '
                 f'{args.force_complete}, field_noise: {args.noise}, '
-                f'max_poses: {max_poses}\n')
+                f'max_poses: {max_poses}, max_seeds: {max_seeds}\n')
         if args.noise:
             f.write(f'- noise spec: {noise}\n')
             f.write('- budget note: under noise, duplicate seeds occupy '
@@ -99,7 +129,8 @@ def main():
                     '`n_dropped_poses`), not scheduling; measured 55-pose '
                     'noisy scenes: F1 0.960 at max_poses=128 -> 0.996 at '
                     '256.\n')
-        f.write(f'- generated: seed 20260819, densities uniform 5-60\n\n')
+        f.write(f'- generated: seed 20260819, densities uniform up to '
+                f'{max_density}\n\n')
         f.write('| density | scenes | oracle poses | parallel poses | '
                 'detection F1 | mean OKS | mean |score delta| | joint '
                 'agreement |\n')
