@@ -124,6 +124,138 @@ def supports(module) -> bool:
     return isinstance(module, ShuffleNetV2K) and module.norm == 'batchnorm'
 
 
+# ---------------------------------------------------------------------------
+# training plan: identical routing fold, batch-mode BatchNorm.
+#
+# The 0/1 permutation matmuls are linear, so autodiff through this plan
+# yields exactly the baseline gradients routed through the same
+# permutations (gradients land on the canonical parameter tree unchanged:
+# the fold consumes ``p[...]['kernel']`` directly, and the zero-padded
+# rows of the widened branch2_conv1 kernel receive exactly-zero gradient
+# contributions).  BatchNorm runs through the flax module in batch mode so
+# batch-statistics numerics and running-stat updates are bit-identical to
+# the baseline apply (``tests/test_fused_shufflenet.py::TestTrainPlan``).
+# ---------------------------------------------------------------------------
+
+def _bn_train(params, stats, x, dtype, momentum):
+    bn = nn.BatchNorm(use_running_average=False, momentum=momentum,
+                      epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32)
+    y, mut = bn.apply({'params': params, 'batch_stats': stats}, x,
+                      mutable=['batch_stats'])
+    return y, mut['batch_stats']
+
+
+def _block_stride1_train(x, p, s, dtype, momentum):
+    c = x.shape[-1]
+    px, _, po = _routing_matrices(c)
+    new_s = {}
+
+    def bn(name, t):
+        y, new_s[name] = _bn_train(p[name], s[name], t, dtype, momentum)
+        return y
+
+    w1 = _kernel2d(p['branch2_conv1'])
+    w1pad = jnp.concatenate([jnp.zeros_like(w1), w1], axis=0)
+    b2 = _mm(x, w1pad, dtype)
+    b2 = nn.relu(bn('branch2_norm1', b2))
+    b2 = _dw(b2, p['branch2_dwconv']['kernel'], 1, dtype)
+    b2 = bn('branch2_dwnorm', b2)
+    b2 = _mm(b2, _kernel2d(p['branch2_conv2']), dtype)
+    b2 = nn.relu(bn('branch2_norm2', b2))
+    out = _mm(x, jnp.asarray(px), dtype) + _mm(b2, jnp.asarray(po), dtype)
+    return out, new_s
+
+
+def _block_stride2_train(x, p, s, stride, dtype, momentum):
+    new_s = {}
+
+    def bn(name, t):
+        y, new_s[name] = _bn_train(p[name], s[name], t, dtype, momentum)
+        return y
+
+    b1 = _dw(x, p['branch1_dwconv']['kernel'], stride, dtype)
+    b1 = bn('branch1_dwnorm', b1)
+    b1 = _mm(b1, _kernel2d(p['branch1_conv']), dtype)
+    b1 = nn.relu(bn('branch1_norm', b1))
+
+    b2 = _mm(x, _kernel2d(p['branch2_conv1']), dtype)
+    b2 = nn.relu(bn('branch2_norm1', b2))
+    b2 = _dw(b2, p['branch2_dwconv']['kernel'], stride, dtype)
+    b2 = bn('branch2_dwnorm', b2)
+    b2 = _mm(b2, _kernel2d(p['branch2_conv2']), dtype)
+    b2 = nn.relu(bn('branch2_norm2', b2))
+
+    c = 2 * b1.shape[-1]
+    _, pe, po = _routing_matrices(c)
+    out = _mm(b1, jnp.asarray(pe), dtype) + _mm(b2, jnp.asarray(po), dtype)
+    return out, new_s
+
+
+def backbone_apply_train(module: ShuffleNetV2K, variables, x: jnp.ndarray,
+                         prefix: str = 'basenet', momentum: float = 0.9):
+    """Training forward of the backbone: folded routing + batch-mode BN.
+
+    Returns ``(features, new_backbone_batch_stats)`` with the stats tree
+    shaped exactly like ``variables['batch_stats'][prefix]``.
+    """
+    p = variables['params'][prefix]
+    s = variables['batch_stats'][prefix]
+    dtype = module.dtype
+    new_stats = {}
+
+    x = x.astype(dtype)
+    k1 = p['conv1']['kernel'].astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x, k1, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    x, new_stats['conv1_norm'] = _bn_train(
+        p['conv1_norm'], s['conv1_norm'], x, dtype, momentum)
+    x = nn.relu(x)
+
+    for stage_i, repeats in enumerate(module.stages_repeats, start=2):
+        name = f'stage{stage_i}_0'
+        x, new_stats[name] = _block_stride2_train(
+            x, p[name], s[name], 2, dtype, momentum)
+        for bi in range(1, repeats):
+            name = f'stage{stage_i}_{bi}'
+            x, new_stats[name] = _block_stride1_train(
+                x, p[name], s[name], dtype, momentum)
+
+    x = _mm(x, _kernel2d(p['conv5']), dtype)
+    x, new_stats['conv5_norm'] = _bn_train(
+        p['conv5_norm'], s['conv5_norm'], x, dtype, momentum)
+    x = nn.relu(x)
+    return x, new_stats
+
+
+def shell_apply_train(model, variables, x: jnp.ndarray):
+    """Full training forward through the folded-routing plan.
+
+    Same contract as ``model.apply(..., train=True,
+    mutable=['batch_stats'])``: returns ``(fields, {'batch_stats': ...})``.
+    Requires ``cross_talk == 0`` and dropout-free heads (the defaults);
+    callers gate on :func:`supports_train`.
+    """
+    features, new_backbone_stats = backbone_apply_train(
+        model.module.basenet, variables, x)
+    outs = []
+    for i, head in enumerate(model.module.head_nets):
+        outs.append(head.apply(
+            {'params': variables['params'][f'head_nets_{i}']},
+            features, train=True))
+    return outs, {'batch_stats': {'basenet': new_backbone_stats}}
+
+
+def supports_train(model, variables) -> bool:
+    """Training-plan eligibility: batchnorm ShuffleNetV2K shell with no
+    CrossTalk and no head dropout (both reference defaults)."""
+    return (supports(model.module.basenet)
+            and 'batch_stats' in variables
+            and getattr(model.module, 'cross_talk', 0.0) == 0.0
+            and all(getattr(h, 'dropout_rate', 0.0) == 0.0
+                    for h in model.module.head_nets))
+
+
 def backbone_apply(module: ShuffleNetV2K, variables, x: jnp.ndarray,
                    prefix: str = 'basenet') -> jnp.ndarray:
     """Inference forward of the backbone from the canonical variables."""

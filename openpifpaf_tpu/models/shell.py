@@ -67,9 +67,10 @@ class Model:
     def params(self):
         return self.variables['params']
 
-    # fused inference execution plan (models/fused_shufflenet.py);
-    # --no-fused-inference reverts to the baseline flax graph
+    # fused execution plans (models/fused_shufflenet.py); set the class
+    # attributes to False to revert to the baseline flax graph
     fused_inference = True
+    fused_train = True
 
     def apply(self, variables, x, train: bool = False, mutable=False,
               rngs=None):

@@ -158,9 +158,20 @@ class Trainer(Configurable):
         ema_decay = self.ema_decay
         fix_bn = self.fix_batch_norm
 
-        def apply_train(variables, images):
-            return model.apply(variables, images, train=True,
-                               mutable=['batch_stats'])
+        from ..models import fused_shufflenet
+
+        if (getattr(model, 'fused_train', True)
+                and fused_shufflenet.supports_train(model, model.variables)):
+            # folded-routing training plan: same math/gradients on the
+            # canonical tree, batch-mode BN through the flax module
+            # (exactness: tests/test_fused_shufflenet.py::TestTrainPlan)
+            def apply_train(variables, images):
+                return fused_shufflenet.shell_apply_train(
+                    model, variables, images)
+        else:
+            def apply_train(variables, images):
+                return model.apply(variables, images, train=True,
+                                   mutable=['batch_stats'])
 
         def apply_eval(variables, images):
             return model.apply(variables, images, train=False)

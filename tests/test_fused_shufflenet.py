@@ -95,3 +95,117 @@ def test_groupnorm_variant_falls_back():
     mod = ShuffleNetV2K(stages_repeats=(2,), stages_out_channels=(24, 48),
                         norm='groupnorm')
     assert not fused_shufflenet.supports(mod)
+
+
+class TestTrainPlan:
+    """Folded-routing TRAINING plan (shell_apply_train): fields, updated
+    running stats, and gradients on the canonical tree must match the
+    baseline ``model.apply(train=True, mutable=['batch_stats'])``."""
+
+    def test_fields_stats_grads_match(self):
+        import jax
+        import jax.numpy as jnp
+
+        model = build('shufflenetv2k16', bf16=False)
+        assert fused_shufflenet.supports_train(model, model.variables)
+        variables = perturb_stats(model.variables)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 65, 65, 3)).astype(np.float32)
+
+        def run_baseline(params):
+            fields, mutated = model.apply(
+                {'params': params,
+                 'batch_stats': variables['batch_stats']},
+                x, train=True, mutable=['batch_stats'])
+            loss = sum(jnp.sum(f ** 2) for f in fields)
+            return loss, (fields, mutated['batch_stats'])
+
+        def run_fused(params):
+            fields, mutated = fused_shufflenet.shell_apply_train(
+                model, {'params': params,
+                        'batch_stats': variables['batch_stats']}, x)
+            loss = sum(jnp.sum(f ** 2) for f in fields)
+            return loss, (fields, mutated['batch_stats'])
+
+        (lb, (fb, sb)), gb = jax.jit(
+            jax.value_and_grad(run_baseline, has_aux=True))(
+            variables['params'])
+        (lf, (ff, sf)), gf = jax.jit(
+            jax.value_and_grad(run_fused, has_aux=True))(
+            variables['params'])
+
+        for a, b in zip(fb, ff):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-4)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
+            sb, sf)
+        # gradients: the BN backward has heavy cancellation, so baseline
+        # f32 carries its own rounding noise (measured against an f64
+        # baseline reference: baseline-f32 rel-L2 5.2e-3, fused-f32
+        # 1.3e-3 — the fused matmul accumulation is the *more* accurate
+        # one).  Gate on relative L2 per leaf and globally.
+        flat_b = jax.tree_util.tree_leaves_with_path(gb)
+        flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+        assert len(flat_b) == len(flat_f)
+        den = sum(float((np.asarray(l) ** 2).sum()) for _, l in flat_b)
+        num = 0.0
+        for path, leaf in flat_b:
+            other = np.asarray(flat_f[path])
+            leaf = np.asarray(leaf)
+            d2 = float(((leaf - other) ** 2).sum())
+            n2 = float((leaf ** 2).sum())
+            num += d2
+            # leaves far below the global gradient scale are analytically
+            # ~zero (e.g. a BN bias feeding another BN: measured f64 norm
+            # 7e-4 vs sibling 1952) — baseline f32's own rounding noise
+            # there exceeds any tolerance; gate them against the global
+            # scale instead
+            if n2 > 1e-8 * den:
+                assert (d2 / n2) ** 0.5 <= 5e-2, \
+                    f'{path}: rel L2 {(d2 / n2) ** 0.5:.2e}'
+        assert (num / den) ** 0.5 <= 2e-2, (num / den) ** 0.5
+
+    def test_trainer_uses_fused_plan_and_converges_like_baseline(self):
+        """One jitted train step through the Trainer path produces finite
+        loss and updated stats with the fused plan active."""
+        import tempfile
+
+        from openpifpaf_tpu import losses
+        from openpifpaf_tpu.training.optimize import OptimizeFactory
+        from openpifpaf_tpu.training.trainer import Trainer
+
+        model = build('shufflenetv2k16', bf16=False)
+        loss_fn = losses.Factory().factory(model.head_metas)
+        trainer = Trainer(model, loss_fn, OptimizeFactory(),
+                          tempfile.mkdtemp() + '/model.npz')
+        state = trainer.init_state(steps_per_epoch=2)
+        trainer._build_steps()
+        rng = np.random.default_rng(0)
+        images = rng.normal(size=(2, 65, 65, 3)).astype(np.float32)
+        fh = fw = 5
+        targets = []
+        for meta in model.head_metas:
+            f, nv, ns = meta.n_fields, meta.n_vectors, meta.n_scales
+            conf = (rng.uniform(0, 1, (2, f, fh, fw)) < 0.05).astype(
+                np.float32)
+            targets.append({
+                'conf': conf,
+                'conf_mask': np.ones((2, f, fh, fw), bool),
+                'vec': rng.normal(size=(2, f, nv, 2, fh, fw)).astype(
+                    np.float32),
+                'vec_mask': np.broadcast_to(
+                    conf.astype(bool)[:, :, None], (2, f, nv, fh, fw)),
+                'scale': np.abs(rng.normal(2.0, 1.0, (2, f, ns, fh, fw))
+                                ).astype(np.float32),
+                'scale_mask': np.broadcast_to(
+                    conf.astype(bool)[:, :, None], (2, f, ns, fh, fw)),
+            })
+        # snapshot before the call: the train step donates the state
+        before = np.asarray(state.batch_stats['basenet']['conv1_norm']['mean'])
+        new_state, total, _ = trainer._train_step(state, images, targets)
+        assert np.isfinite(float(total))
+        # running stats moved (batch mode BN was active)
+        after = np.asarray(new_state.batch_stats['basenet']['conv1_norm']['mean'])
+        assert float(np.abs(after - before).max()) > 0

@@ -40,6 +40,43 @@ N_STAGED = 2
 N_INNER = 4
 N_CALLS = 4
 PEAK_BF16 = 197e12
+HBM_BW = 819e9
+
+
+def minimal_step_traffic(model, params, opt_state) -> float:
+    """Hand-counted minimal HBM traffic (bytes) of one train step.
+
+    A true LOWER bound (so SoL%% against it can never exceed 100):
+
+    - parameters: fwd read (f32) + grad write + optimizer momentum r/w +
+      param r/w + EMA r/w = 32 B/element;
+    - activations: only nn.Conv outputs are counted (BN/relu fuse into the
+      convs), each materialized once in the forward (bf16 write), read once
+      in the backward, and its gradient written + read once = 8 B/element.
+      Intermediate shapes come from ``jax.eval_shape`` with flax
+      ``capture_intermediates`` filtered to Conv modules — no FLOPs run.
+    - images read once (f32).
+    """
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    param_bytes = 32.0 * n_params
+
+    def f(x):
+        _, mods = model.module.apply(
+            model.variables, x, train=True,
+            mutable=['batch_stats', 'intermediates'],
+            capture_intermediates=lambda mdl, name: isinstance(mdl, nn.Conv))
+        return mods['intermediates']
+
+    shapes = jax.eval_shape(
+        f, jax.ShapeDtypeStruct((BATCH, *IMAGE_HW, 3), jnp.float32))
+    act_elems = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(shapes))
+    act_bytes = 8.0 * act_elems
+    image_bytes = 4.0 * BATCH * IMAGE_HW[0] * IMAGE_HW[1] * 3
+    return param_bytes + act_bytes + image_bytes
 
 
 def log(msg):
@@ -118,14 +155,15 @@ def encoder_throughput(model):
     return n / (time.perf_counter() - start)
 
 
-def bench_model(basenet: str):
+def bench_model(basenet: str, fused: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
 
     from openpifpaf_tpu.training.optimize import OptimizeFactory
 
-    log(f'{basenet}: building...')
+    label = f'{basenet}{"+fused" if fused else ""}'
+    log(f'{label}: building...')
     model, loss_fn = build(basenet)
 
     opt_factory = OptimizeFactory()
@@ -163,13 +201,23 @@ def bench_model(basenet: str):
     stacked = jax.tree.map(lambda *xs: jnp.stack(list(xs) * (
         (N_INNER + N_STAGED - 1) // N_STAGED))[:N_INNER], *staged)
 
+    from openpifpaf_tpu.models import fused_shufflenet
+
+    use_fused = (fused
+                 and fused_shufflenet.supports_train(model, model.variables))
+
     def train_step(params, batch_stats, opt_state, images, targets):
         def loss_of(p):
             variables = {'params': p}
             if batch_stats:
                 variables['batch_stats'] = batch_stats
-                fields, mutated = model.apply(
-                    variables, images, train=True, mutable=['batch_stats'])
+                if use_fused:
+                    fields, mutated = fused_shufflenet.shell_apply_train(
+                        model, variables, images)
+                else:
+                    fields, mutated = model.apply(
+                        variables, images, train=True,
+                        mutable=['batch_stats'])
                 new_stats = mutated['batch_stats']
             else:
                 fields = model.apply(variables, images, train=True)
@@ -219,18 +267,39 @@ def bench_model(basenet: str):
     if isinstance(cost, (list, tuple)):
         cost = cost[0] if cost else {}
     flops = float((cost or {}).get('flops', 0.0))
+    xla_bytes = float((cost or {}).get('bytes accessed', 0.0))
     mfu = flops / step_s / PEAK_BF16
+
+    # nominal speed-of-light bound (same discipline as stage_timing.py,
+    # VERDICT r3 #4): whichever of MXU peak / HBM bandwidth binds.  XLA
+    # bytes overcount fused intermediates, so the HBM leg is conservative
+    # (the bound is *larger* than the true minimum time); a hand-counted
+    # minimal-traffic bound is reported alongside so the SoL%% can never
+    # exceed 100 against it.
+    bound_xla_s = max(flops / PEAK_BF16, xla_bytes / HBM_BW)
+    hand_bytes = minimal_step_traffic(model, params, opt_state)
+    bound_hand_s = max(flops / PEAK_BF16, hand_bytes / HBM_BW)
 
     log(f'{basenet}: host encoder throughput...')
     enc_rate = encoder_throughput(model)
 
     device_rate = BATCH / step_s
     return {
-        'basenet': basenet, 'batch': BATCH, 'image_hw': IMAGE_HW,
+        'basenet': basenet, 'train_plan': ('fused' if use_fused
+                                           else 'baseline'),
+        'batch': BATCH, 'image_hw': IMAGE_HW,
         'step_ms': round(step_s * 1e3, 2),
         'images_per_s': round(device_rate, 2),
         'step_gflops': round(flops / 1e9, 1),
         'mfu_pct': round(100 * mfu, 2),
+        'xla_bytes_gb': round(xla_bytes / 1e9, 2),
+        'hand_min_bytes_gb': round(hand_bytes / 1e9, 2),
+        'bound_ms_xla_bytes': round(bound_xla_s * 1e3, 2),
+        'bound_ms_hand_bytes': round(bound_hand_s * 1e3, 2),
+        # % of speed-of-light vs the hand-counted LOWER-bound traffic:
+        # by construction this can never exceed 100
+        'pct_of_sol_hand': round(100 * bound_hand_s / step_s, 1),
+        'pct_of_sol_xla': round(100 * bound_xla_s / step_s, 1),
         'encoder_images_per_s_1core': round(enc_rate, 1),
         'encoder_workers_needed': round(device_rate / enc_rate, 2),
     }
@@ -240,7 +309,9 @@ def main():
     import jax
 
     device = jax.devices()[0]
-    rows = [bench_model('shufflenetv2k16'), bench_model('resnet50')]
+    rows = [bench_model('shufflenetv2k16'),
+            bench_model('shufflenetv2k16', fused=True),
+            bench_model('resnet50')]
     out = {'device': getattr(device, 'device_kind', device.platform),
            'protocol': 'scan-chained steps, params carried (anti-memo), '
                        'loss readback per call',
