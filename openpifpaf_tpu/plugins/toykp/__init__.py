@@ -3,5 +3,7 @@
 
 def register():
     from .datamodule import ToyKp  # pylint: disable=import-outside-toplevel
+    from .crowd import ToyCrowd  # pylint: disable=import-outside-toplevel
     from ...datasets import DATAMODULES  # pylint: disable=import-outside-toplevel
     DATAMODULES['toykp'] = ToyKp
+    DATAMODULES['toycrowd'] = ToyCrowd

@@ -116,6 +116,7 @@ class ToyKp(DataModule):
     n_val_images = 8
     image_size = 161
     augmentation = True
+    dataset_cls = ToyKpDataset    # overridden by the crowd variant
 
     def __init__(self):
         cif = headmeta.Cif('cif', 'toykp',
@@ -189,23 +190,23 @@ class ToyKp(DataModule):
         return transforms.Compose(steps)
 
     def train_loader(self):
-        dataset = ToyKpDataset(self.n_images, self.image_size,
-                               self._preprocess(), seed=0)
+        dataset = self.dataset_cls(self.n_images, self.image_size,
+                                   self._preprocess(), seed=0)
         return Loader(dataset, batch_size=self.batch_size, shuffle=True,
                       collate_fn=collate_images_targets_meta,
                       num_workers=self.loader_workers, drop_last=True)
 
     def val_loader(self):
-        dataset = ToyKpDataset(self.n_val_images, self.image_size,
-                               self._preprocess(), seed=1000)
+        dataset = self.dataset_cls(self.n_val_images, self.image_size,
+                                   self._preprocess(), seed=1000)
         return Loader(dataset, batch_size=self.batch_size, shuffle=False,
                       collate_fn=collate_images_targets_meta,
                       num_workers=self.loader_workers, drop_last=True)
 
     def eval_loader(self, *, long_edge=None, hflip=False):
-        dataset = ToyKpDataset(self.n_val_images, self.image_size,
-                               self._eval_preprocess(long_edge, hflip),
-                               seed=1000)
+        dataset = self.dataset_cls(self.n_val_images, self.image_size,
+                                   self._eval_preprocess(long_edge, hflip),
+                                   seed=1000)
         return Loader(dataset, batch_size=self.batch_size, shuffle=False,
                       collate_fn=collate_images_anns_meta,
                       num_workers=self.loader_workers, drop_last=False)

@@ -53,7 +53,7 @@ def decode_paths(model, cif_f, caf_f):
 
     # production
     edges = growth.directed_edges(skeleton)
-    poses, placed, pose_valid, _, _, seed_f = growth.init_poses(
+    poses, placed, pose_valid, _, n_dropped_poses, seed_f = growth.init_poses(
         fe.sds, n_keypoints=cif_meta.n_fields, config=config.growth)
     poses, placed = growth.grow(poses, placed, pose_valid, fe.cands, edges,
                                 config.growth, force_cand=fe.cands_fc)
@@ -85,8 +85,11 @@ def decode_paths(model, cif_f, caf_f):
         res.sort(key=lambda t: -t[1])
         return res
 
+    counters = {'n_dropped_poses': int(n_dropped_poses),
+                'n_dropped_caf': int(np.asarray(fe.n_dropped_caf)),
+                'n_dropped_cif': int(np.asarray(fe.n_dropped_cif))}
     return (extract(p_out, p_scores, p_valid),
-            extract(oo_out, oo_scores, oo_valid))
+            extract(oo_out, oo_scores, oo_valid), counters)
 
 
 def ap_of(per_image, metric_factory, loader_batches):
@@ -117,6 +120,9 @@ def ap_of(per_image, metric_factory, loader_batches):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--checkpoint', required=True)
+    parser.add_argument('--dataset', default='toykp',
+                        help='eval datamodule (toykp, or toycrowd for the '
+                             'overlapping-crowd regime, VERDICT r3 #2)')
     args = parser.parse_args()
 
     from drift_harness import scene_agreement
@@ -126,14 +132,14 @@ def main():
     plugin.register()
     factory = models.Factory(checkpoint=args.checkpoint, bf16=False)
     model = factory.factory()
-    datamodule = datasets.factory('toykp')
+    datamodule = datasets.factory(args.dataset)
     for meta, model_meta in zip(datamodule.head_metas, model.head_metas):
         meta.head_index = model_meta.head_index
         meta.base_stride = model_meta.base_stride
     loader = datamodule.eval_loader()
 
     forward = jax.jit(lambda v, x: model.apply_fast(v, x))
-    par_all, ora_all, per_scene = [], [], []
+    par_all, ora_all, per_scene, counter_sums = [], [], [], []
     batches = []
     for images, anns_gt, metas in loader:
         images = np.stack([np.asarray(x) for x in images])
@@ -142,9 +148,11 @@ def main():
         caf_f = np.asarray(fields[1], np.float32)
         batches.append((images, anns_gt, metas))
         for i in range(images.shape[0]):
-            parallel, oracle = decode_paths(model, cif_f[i], caf_f[i])
+            parallel, oracle, counters = decode_paths(
+                model, cif_f[i], caf_f[i])
             par_all.append(parallel)
             ora_all.append(oracle)
+            counter_sums.append(counters)
             per_scene.append(scene_agreement(parallel, oracle))
 
     n_o = sum(m['n_oracle'] for m in per_scene)
@@ -164,6 +172,11 @@ def main():
         'AP_parallel': round(ap_parallel['AP'], 4),
         'AP_oracle': round(ap_oracle['AP'], 4),
         'AP_delta': round(ap_parallel['AP'] - ap_oracle['AP'], 4),
+        # production budget-overflow counters at the decode defaults
+        'n_dropped_poses': sum(c['n_dropped_poses'] for c in counter_sums),
+        'n_dropped_caf': sum(c['n_dropped_caf'] for c in counter_sums),
+        'n_dropped_cif': sum(c['n_dropped_cif'] for c in counter_sums),
+        'dataset': args.dataset,
     }
     print(json.dumps(out))
     return 0
