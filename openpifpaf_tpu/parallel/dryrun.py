@@ -191,3 +191,99 @@ def dryrun_decode_sharded(n_devices: int) -> None:
     LOG.info('decode dryrun done: %d seeds, halo_overflow=%d, devices=%d',
              n_seeds, int(sharded.halo_overflow), n_devices)
     assert n_seeds > 0
+
+
+def dryrun_tracking(n_devices: int, *, image_hw=(64, 64)) -> None:
+    """Compile + run ONE sharded TRACKING train step (VERDICT r3 #8).
+
+    The tracking shell folds frame pairs into the batch axis (2B frames,
+    pairs adjacent), so the data-parallel sharding gives every device a
+    whole pair; the TCAF head consumes channel-concatenated pair features
+    on-device with no cross-device reshuffle.
+    """
+    import optax
+
+    from .. import losses, models
+    from ..plugins.coco import constants
+    from ..plugins.posetrack.cocokpst import tracking_head_metas
+    from ..training.optimize import OptimizeFactory
+
+    devices = np.asarray(jax.devices()[:n_devices])
+    mesh = Mesh(devices.reshape(n_devices), ('data',))
+    LOG.info('tracking dryrun mesh: %s', mesh)
+
+    head_metas = tracking_head_metas(
+        'cocokpst',
+        keypoints=constants.COCO_KEYPOINTS,
+        sigmas=constants.COCO_PERSON_SIGMAS,
+        pose=constants.COCO_UPRIGHT_POSE,
+        skeleton=constants.COCO_PERSON_SKELETON,
+        score_weights=constants.COCO_PERSON_SCORE_WEIGHTS)
+    factory = models.Factory(base_name='tshufflenetv2k16', bf16=False)
+    model = factory.from_scratch('tshufflenetv2k16', head_metas)
+    model.init(jax.random.key(0), input_hw=image_hw)
+    loss_fn = losses.Factory().factory(model.head_metas)
+
+    opt_factory = OptimizeFactory()
+    tx = opt_factory.optimizer(opt_factory.schedule(steps_per_epoch=10))
+    params = model.variables['params']
+    batch_stats = model.variables.get('batch_stats', {})
+    opt_state = tx.init({'params': params})
+
+    pairs = mesh.shape['data']           # one frame pair per device
+    h, w = image_hw
+    fh, fw = (h - 1) // 16 + 1, (w - 1) // 16 + 1
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(2 * pairs, h, w, 3)).astype(np.float32)
+
+    def target_for(meta, paired):
+        b = pairs if paired else 2 * pairs
+        f, nv, ns = meta.n_fields, meta.n_vectors, meta.n_scales
+        return {
+            'conf': rng.uniform(0, 1, (b, f, fh, fw)).astype(np.float32)
+            .round(),
+            'conf_mask': np.ones((b, f, fh, fw), bool),
+            'vec': rng.normal(size=(b, f, nv, 2, fh, fw)).astype(np.float32),
+            'vec_mask': np.ones((b, f, nv, fh, fw), bool),
+            'scale': np.abs(rng.normal(size=(b, f, ns, fh, fw))
+                            ).astype(np.float32),
+            'scale_mask': np.ones((b, f, ns, fh, fw), bool),
+        }
+
+    from .. import headmeta as headmeta_mod
+    targets = [target_for(m, isinstance(m, headmeta_mod.Tcaf))
+               for m in model.head_metas]
+
+    repl = NamedSharding(mesh, P())
+    data_sharding = NamedSharding(mesh, P('data'))
+    images = jax.device_put(images, data_sharding)
+    targets = jax.tree.map(
+        lambda x: jax.device_put(np.asarray(x), data_sharding), targets)
+    params = jax.tree.map(lambda x: jax.device_put(x, repl), params)
+    batch_stats = jax.tree.map(lambda x: jax.device_put(x, repl),
+                               batch_stats)
+    opt_state = jax.tree.map(lambda x: jax.device_put(x, repl), opt_state)
+
+    def train_step(params, batch_stats, opt_state, images, targets):
+        def loss_of(p):
+            variables = {'params': p, 'batch_stats': batch_stats}
+            fields, mutated = model.apply(variables, images, train=True,
+                                          mutable=['batch_stats'])
+            total, _ = loss_fn(fields, targets)
+            return total, mutated['batch_stats']
+
+        (total, new_stats), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        updates, new_opt_state = tx.update({'params': grads}, opt_state,
+                                           {'params': params})
+        new_params = optax.apply_updates({'params': params},
+                                         updates)['params']
+        return new_params, new_stats, new_opt_state, total
+
+    step = jax.jit(train_step)
+    with mesh:
+        out = step(params, batch_stats, opt_state, images, targets)
+        jax.block_until_ready(out)
+    total = float(out[-1])
+    LOG.info('tracking dryrun done: loss=%f devices=%d', total, n_devices)
+    assert np.isfinite(total), total

@@ -127,3 +127,64 @@ def test_train_cli_ddp_two_processes(tmp_path):
         assert p.returncode == 0, err[-4000:]
     assert os.path.exists(out + '.epoch001.npz')
     assert os.path.exists(out + '.log')
+
+
+DECODE_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             'multiprocess_decode_worker.py')
+
+
+def _run_decode(out_path: str, n_processes: int, timeout: int = 420):
+    if n_processes == 1:
+        result = subprocess.run(
+            [sys.executable, DECODE_WORKER, out_path],
+            cwd=REPO_ROOT, env=base_env(4), capture_output=True, text=True,
+            timeout=timeout)
+        assert result.returncode == 0, result.stderr[-4000:]
+        return
+    port = free_port()
+    procs = []
+    for pid in range(n_processes):
+        env = base_env(4 // n_processes)
+        env['JAX_COORDINATOR'] = f'localhost:{port}'
+        env['JAX_NUM_PROCESSES'] = str(n_processes)
+        env['JAX_PROCESS_ID'] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, DECODE_WORKER, out_path],
+            cwd=REPO_ROOT, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-4000:]
+
+
+def _gather_decode(prefix: str, n_processes: int):
+    batches = {}
+    for pid in range(n_processes):
+        data = np.load(f'{prefix}.rank{pid}.npz')
+        for key in data.files:
+            if '_b' in key:
+                batches[key] = data[key]
+    return batches
+
+
+@pytest.mark.slow
+def test_two_process_decode_bit_matches_single(tmp_path):
+    """Decode parity across real process boundaries (VERDICT r3 #8): the
+    batched on-device decoder sharded over a 2-process global mesh must
+    produce bit-identical poses to the single-process 4-device run."""
+    single = str(tmp_path / 'dec_single')
+    multi = str(tmp_path / 'dec_multi')
+    _run_decode(single, 1)
+    _run_decode(multi, 2)
+
+    a = _gather_decode(single, 1)
+    b = _gather_decode(multi, 2)
+    assert set(a) == set(b)
+    assert any(k.startswith('xyv_') for k in a)
+    for key in sorted(a):
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
