@@ -78,6 +78,32 @@ def cost_of(fn, *args):
             float(c.get('bytes accessed', 0.0)))
 
 
+def hand_bytes_of(fn, inputs, extra_input_bytes: float = 0.0):
+    """Hand-counted minimal traffic (VERDICT r3 #6): unique input bytes +
+    unique output bytes at the bench shapes, from ``jax.eval_shape`` (no
+    FLOPs run).  Returns ``(in_bytes, out_bytes)``.
+
+    ``in_bytes`` alone is a strict lower bound on HBM traffic (every input
+    element must be fetched at least once; the scan-chain inputs exceed
+    VMEM so they stream).  ``out_bytes`` is *usually* also moved, but the
+    timing chain reduces stage outputs into a scalar carry, so XLA may fuse
+    away part of the output write — which is why the strict SoL column uses
+    inputs only and can never exceed 100.
+    """
+    import jax
+
+    def nbytes(tree):
+        total = 0.0
+        for leaf in jax.tree.leaves(tree):
+            if hasattr(leaf, 'shape'):
+                total += float(np.prod(leaf.shape)) * np.dtype(
+                    leaf.dtype).itemsize
+        return total
+
+    out_shapes = jax.eval_shape(fn, inputs)
+    return nbytes(inputs) + extra_input_bytes, nbytes(out_shapes)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--out', default='PERF.md')
@@ -232,6 +258,10 @@ def main():
          PEAK_FLOPS_F32),
     ]
 
+    n_param_bytes = sum(
+        float(np.prod(p.shape)) * np.dtype(p.dtype).itemsize
+        for p in jax.tree.leaves(variables))
+
     rows = []
     for name, step, vfn, inputs, inject, peak in stages:
         if step is None:
@@ -242,19 +272,29 @@ def main():
         raw_s = scan_time(step, stacked)
         net_s = max(raw_s - floor_s, 1e-9)
         flops, bytes_ = cost_of(vfn, inputs)
-        bound_nominal = max(flops / peak, bytes_ / HBM_BW)
-        bound_measured = max(flops / peak, bytes_ / measured_bw)
+        # hand-counted minimal traffic (forward additionally reads the
+        # parameter tree, which is closed over rather than an input)
+        in_b, out_b = hand_bytes_of(
+            vfn, inputs,
+            extra_input_bytes=(n_param_bytes if name == 'forward' else 0.0))
+        bound_hand = max(flops / peak, (in_b + out_b) / HBM_BW)
+        bound_strict = max(flops / peak, in_b / HBM_BW)
+        bound_xla = max(flops / peak, bytes_ / HBM_BW)
         rows.append({
             'stage': name,
             'ms_per_image': net_s / BATCH * 1e3,
             'raw_ms_per_image': raw_s / BATCH * 1e3,
             'gflops': flops / 1e9,
-            'mbytes': bytes_ / 1e6,
-            'nominal_bound_ms': bound_nominal / BATCH * 1e3,
-            'measured_bound_ms': bound_measured / BATCH * 1e3,
-            'sol_nominal_pct': 100.0 * bound_nominal / net_s,
-            'sol_measured_pct': 100.0 * bound_measured / net_s,
-            'dominant': ('compute' if flops / peak > bytes_ / HBM_BW
+            'hand_in_mb': in_b / 1e6,
+            'hand_out_mb': out_b / 1e6,
+            'xla_mbytes': bytes_ / 1e6,
+            'hand_bound_ms': bound_hand / BATCH * 1e3,
+            'strict_bound_ms': bound_strict / BATCH * 1e3,
+            'xla_bound_ms': bound_xla / BATCH * 1e3,
+            'sol_hand_pct': 100.0 * bound_hand / net_s,
+            'sol_strict_pct': 100.0 * bound_strict / net_s,
+            'dominant': ('compute'
+                         if flops / peak > (in_b + out_b) / HBM_BW
                          else 'hbm'),
         })
         print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
@@ -270,7 +310,7 @@ def main():
     }
 
     with open(args.out, 'w') as f:
-        f.write('# Per-stage TPU timing and roofline (round 3)\n\n')
+        f.write('# Per-stage TPU timing and roofline (round 4)\n\n')
         f.write(
             f'Device: {result["device"]}; batch {BATCH} at '
             f'{IMAGE_HW[0]}px (sn2k16/cocokp, untrained weights — '
@@ -280,39 +320,56 @@ def main():
             f'measured noop floor ({result["noop_floor_ms_per_image"]:.2f}'
             ' ms/img — tunnel RTT amortized over the chain) is '
             'subtracted.\n\n'
-            'Two rooflines per stage: **nominal** uses spec peaks '
-            f'(bf16 {PEAK_FLOPS_BF16 / 1e12:.0f} TF/s, f32 '
+            'Bounds are **hand-counted minimal traffic** (VERDICT r3 #6), '
+            'not XLA cost-analysis bytes: *hand* = unique input + unique '
+            'output bytes of the stage at the bench shapes (forward also '
+            'counts the parameter read); *strict* = input bytes only.  '
+            'The strict column is a true lower bound on stage time — '
+            'every input element must be fetched from HBM at least once '
+            '(chain inputs exceed VMEM, so they stream) — hence '
+            '**strict SoL%% can never exceed 100**.  The hand column '
+            'additionally charges the output write, which the timing '
+            'chain may legitimately fuse into its scalar-carry reduction; '
+            'it is the fair-comparison column for stages whose consumers '
+            'read the outputs from HBM.  Compute legs use bf16 '
+            f'{PEAK_FLOPS_BF16 / 1e12:.0f} / f32 '
             f'{PEAK_FLOPS_F32 / 1e12:.0f} TF/s, HBM '
-            f'{HBM_BW / 1e9:.0f} GB/s); **measured** replaces the HBM '
-            'rate with the large-copy bandwidth this tunneled chip '
-            f'actually attains ({result["measured_copy_bandwidth_gbs"]:.0f}'
-            ' GB/s) — the honest ceiling for this environment.  Bytes '
-            'are XLA cost-analysis values and overcount fused '
-            'intermediates, so the bounds are conservative (a stage can '
-            'legitimately exceed 100%).\n\n')
-        f.write('| stage | ms/image | GFLOP | MB (XLA) | nominal bound '
-                'ms | % of nominal SoL | measured bound ms | % of '
-                'measured SoL |\n')
-        f.write('|---|---|---|---|---|---|---|---|\n')
+            f'{HBM_BW / 1e9:.0f} GB/s nominal.  (The environment\'s '
+            'large-copy calibration is invalid over the tunnel — '
+            f'{result["measured_copy_bandwidth_gbs"]:.0f} GB/s apparent — '
+            'and is not used.)\n\n')
+        f.write('| stage | ms/image | GFLOP | hand MB in+out | hand bound '
+                'ms | % of hand SoL | strict bound ms | % of strict SoL '
+                '| bound |\n')
+        f.write('|---|---|---|---|---|---|---|---|---|\n')
         for r in rows:
             f.write(f'| {r["stage"]} | {r["ms_per_image"]:.3f} | '
-                    f'{r["gflops"]:.2f} | {r["mbytes"]:.1f} | '
-                    f'{r["nominal_bound_ms"]:.3f} | '
-                    f'{r["sol_nominal_pct"]:.0f} | '
-                    f'{r["measured_bound_ms"]:.3f} | '
-                    f'{r["sol_measured_pct"]:.0f} |\n')
+                    f'{r["gflops"]:.2f} | '
+                    f'{r["hand_in_mb"]:.1f}+{r["hand_out_mb"]:.1f} | '
+                    f'{r["hand_bound_ms"]:.3f} | '
+                    f'{r["sol_hand_pct"]:.0f} | '
+                    f'{r["strict_bound_ms"]:.3f} | '
+                    f'{r["sol_strict_pct"]:.0f} | '
+                    f'{r["dominant"]} |\n')
         f.write(
             '\nNotes: stage programs overlap less than the fused '
             'decode_full program (XLA fuses across stage boundaries '
-            'there), so the stage sum exceeds decode_full.  Round-3 '
-            'changes vs round 2: fused ShuffleNetV2K forward '
-            '(routing as MXU matmuls), incremental growth cache seeding '
-            '(no (P,Q,C) full pass), bf16 CifHr profiles and bilinear '
-            'stencils.  Ceiling argument: every remaining decode stage '
-            'is within ~2x of its *measured* environment roofline with '
-            'fusion-pessimistic byte counts; the fused decode_full '
-            'program is the deployable unit and its time is dominated '
-            'by the forward anyway (see bench.py).\n')
+            'there), so the stage sum exceeds decode_full.  Reading the '
+            'SoL columns: a stage at a low %% of its *strict* bound is '
+            'NOT necessarily leaving that headroom on the table — the '
+            'minimal-traffic model credits nothing for intermediate '
+            'tensors (gather tables, per-round growth state) that real '
+            'schedules must spill; the bound is honest about direction '
+            '(always <= 100) at the cost of being loose for '
+            'intermediate-heavy stages.  The defensible ceiling claims '
+            'are therefore: (1) the forward is activation-traffic-bound '
+            '(batch-insensitive 3.99/4.03/4.03 ms/img at batch 8/16/32, '
+            'r3 probe) and sits within ~2x of even the no-intermediate '
+            'hand bound; (2) decode_full is a small fraction of the e2e '
+            'step (bench.py: 0.65-1.0 ms/img vs 4.6 ms/img e2e), so '
+            'further decode optimization cannot move the headline '
+            'materially; (3) with the r4 fused training plan the train '
+            'step shares (1)\'s regime (TRAINBENCH pct_of_sol_hand).\n')
 
     print(json.dumps(result))
     return 0
