@@ -24,6 +24,11 @@ memoization — see CLAUDE.md "TPU timing over the tunnel is unreliable"):
   (per-call, upper bounds) so the per-stage split is visible (reference
   records ``t_total``/``t_dec`` per image, ``src/openpifpaf/eval.py:~200``);
   per-decode-stage detail is tools/stage_timing.py -> PERF.md.
+- The decode-only north star is carried here directly (VERDICT r3 #3):
+  decode is also timed as its own scan chain, reported RAW with the
+  measured noop dispatch floor alongside (never silently subtracted), and
+  the vs-CPU-decoder multiple is printed.  Every metric reports
+  [min, median, max] over >=10 chained calls.
 - The implied FLOP/s (XLA cost analysis x measured rate) is checked against
   the chip's peak; a physically impossible number is refused instead of
   printed.

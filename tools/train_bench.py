@@ -246,7 +246,7 @@ def bench_model(basenet: str, fused: bool = False):
                    jnp.zeros((), jnp.float32)), stacked)
         return carry
 
-    log(f'{basenet}: compiling train chain...')
+    log(f'{label}: compiling train chain...')
     state = chain(params, batch_stats, opt_state, stacked)
     jax.block_until_ready(state)
 
@@ -259,7 +259,7 @@ def bench_model(basenet: str, fused: bool = False):
         assert np.isfinite(loss_host), 'non-finite loss'
     step_s = statistics.median(times)
 
-    log(f'{basenet}: cost analysis...')
+    log(f'{label}: cost analysis...')
     one = jax.jit(train_step)
     cost = one.lower(params, batch_stats, opt_state,
                      *jax.tree.map(lambda a: a[0], stacked)).compile(
@@ -280,7 +280,7 @@ def bench_model(basenet: str, fused: bool = False):
     hand_bytes = minimal_step_traffic(model, params, opt_state)
     bound_hand_s = max(flops / PEAK_BF16, hand_bytes / HBM_BW)
 
-    log(f'{basenet}: host encoder throughput...')
+    log(f'{label}: host encoder throughput...')
     enc_rate = encoder_throughput(model)
 
     device_rate = BATCH / step_s

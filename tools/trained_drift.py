@@ -123,6 +123,8 @@ def main():
     parser.add_argument('--dataset', default='toykp',
                         help='eval datamodule (toykp, or toycrowd for the '
                              'overlapping-crowd regime, VERDICT r3 #2)')
+    parser.add_argument('--n-images', type=int, default=None,
+                        help='override the eval-set size')
     args = parser.parse_args()
 
     from drift_harness import scene_agreement
@@ -132,6 +134,8 @@ def main():
     plugin.register()
     factory = models.Factory(checkpoint=args.checkpoint, bf16=False)
     model = factory.factory()
+    if args.n_images is not None:
+        datasets.DATAMODULES[args.dataset].n_val_images = args.n_images
     datamodule = datasets.factory(args.dataset)
     for meta, model_meta in zip(datamodule.head_metas, model.head_metas):
         meta.head_index = model_meta.head_index
