@@ -286,12 +286,173 @@ def shell_apply(model, variables, x: jnp.ndarray) -> List[jnp.ndarray]:
     """Full inference forward: fused backbone + the unmodified flax heads.
 
     Call via ``Model.apply_fast`` which falls back to the baseline flax
-    apply for unsupported backbones.
+    apply for unsupported backbones.  Uses the r4 pair plan (symbolic
+    routing, ``backbone_apply_pair``) when the stage widths allow it, the
+    r3 matmul-routing plan otherwise.
     """
-    features = backbone_apply(model.module.basenet, variables, x)
+    basenet = model.module.basenet
+    if supports_pair(basenet):
+        features = backbone_apply_pair(basenet, variables, x)
+    else:
+        features = backbone_apply(basenet, variables, x)
     outs = []
     for i, head in enumerate(model.module.head_nets):
         outs.append(head.apply(
             {'params': variables['params'][f'head_nets_{i}']},
             features, train=False))
     return outs
+
+
+# ---------------------------------------------------------------------------
+# round-4 "pair plan": the channel interleave stays SYMBOLIC.
+#
+# Measured (tools/fwd_stage_timing.py, v5e, batch 8 at 641px): the r3 plan's
+# routing matmuls (Px/Po per block) cost 1.29 of the forward's 3.6 ms/img.
+# They exist only to materialize ``out = channel_shuffle(concat(x1, b2))``.
+# But every consumer of ``out`` is foldable if we instead carry the PAIR
+# ``(a, b)`` with the invariant ``logical = interleave(a, b)`` (logical
+# channel 2i = a[i], 2i+1 = b[i]):
+#
+# - 1x1 convs: ``logical @ W = a @ W[0::2] + b @ W[1::2]`` — static ROW
+#   GATHERS of the kernel at trace time, zero runtime routing;
+# - depthwise convs: per-channel, so ``dw(logical) = interleave(
+#   dw(a, K[0::2]), dw(b, K[1::2]))`` — two half-width dw convs;
+# - BatchNorm/relu: elementwise per-channel — slice params/stats by parity;
+# - the stride-1 split: ``x2 = logical[half:]`` touches a[q:], b[q:]
+#   (contiguous slices, q = half//2) with kernel rows re-gathered; the new
+#   passthrough ``x1' = logical[:half] = interleave(a[:q], b[:q])`` is the
+#   ONLY materialization left, at quarter width (two (q, half) 0/1
+#   matmuls), and the new state is ``(x1', b2)`` — the invariant holds by
+#   construction.
+#
+# Per stride-1 block the plan replaces 1.5*C^2 routing FLOPs + a full-C
+# write with 0.25*C^2 + a half-C write, and stride-2 blocks/conv5 fold for
+# free.  Exactness: all folds are index gathers of parameters (no
+# arithmetic); matmul sums group differently, so agreement is exact in
+# f32 up to summation order and bf16-rounding-scale in bf16
+# (tests/test_fused_shufflenet.py::TestPairPlan).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _interleave_matrices(q: int):
+    """Pe_q (q, 2q): a[:q] -> even cols; Po_q: b[:q] -> odd cols."""
+    pe = np.zeros((q, 2 * q), np.float32)
+    po = np.zeros((q, 2 * q), np.float32)
+    pe[np.arange(q), 2 * np.arange(q)] = 1.0
+    po[np.arange(q), 2 * np.arange(q) + 1] = 1.0
+    return pe, po
+
+
+def _bn_pair(params, stats, pair, dtype):
+    """BatchNorm over a logical tensor held as an (a, b) parity pair."""
+    a, b = pair
+
+    def side(x, sl):
+        return _bn({'scale': params['scale'][sl], 'bias': params['bias'][sl]},
+                   {'mean': stats['mean'][sl], 'var': stats['var'][sl]},
+                   x, dtype)
+
+    return side(a, slice(0, None, 2)), side(b, slice(1, None, 2))
+
+
+def _mm_pair(pair, w, dtype):
+    """``logical @ w`` with the kernel rows gathered by parity."""
+    a, b = pair
+    return _mm(a, w[0::2], dtype) + _mm(b, w[1::2], dtype)
+
+
+def _dw_pair(pair, kernel, stride, dtype):
+    """Depthwise conv over a logical pair: parity-sliced kernels."""
+    a, b = pair
+    return (_dw(a, kernel[:, :, :, 0::2], stride, dtype),
+            _dw(b, kernel[:, :, :, 1::2], stride, dtype))
+
+
+def _block_stride1_pair(pair, p, s, dtype):
+    """Stride-1 InvertedResidualK on a parity pair -> parity pair."""
+    a, b = pair
+    assert a.shape[-1] == b.shape[-1]
+    half = a.shape[-1]
+    q = half // 2
+
+    # x2 = logical[half:]: even slots a[q:], odd slots b[q:]; fold into W1
+    w1 = _kernel2d(p['branch2_conv1'])          # (half, half)
+    b2 = (_mm(a[..., q:], w1[0::2], dtype)
+          + _mm(b[..., q:], w1[1::2], dtype))
+    b2 = nn.relu(_bn(p['branch2_norm1'], s['branch2_norm1'], b2, dtype))
+    b2 = _dw(b2, p['branch2_dwconv']['kernel'], 1, dtype)
+    b2 = _bn(p['branch2_dwnorm'], s['branch2_dwnorm'], b2, dtype)
+    b2 = _mm(b2, _kernel2d(p['branch2_conv2']), dtype)
+    b2 = nn.relu(_bn(p['branch2_norm2'], s['branch2_norm2'], b2, dtype))
+
+    # x1' = logical[:half] = interleave(a[:q], b[:q]) — the one remaining
+    # materialization, at quarter width
+    pe, po = _interleave_matrices(q)
+    x1 = (_mm(a[..., :q], jnp.asarray(pe), dtype)
+          + _mm(b[..., :q], jnp.asarray(po), dtype))
+    return x1, b2
+
+
+def _block_stride2_pair(pair_or_dense, p, s, stride, dtype):
+    """Stride-2 InvertedResidualK; input dense (stage-2 entry) or pair."""
+    is_pair = isinstance(pair_or_dense, tuple)
+
+    if is_pair:
+        d1 = _dw_pair(pair_or_dense, p['branch1_dwconv']['kernel'], stride,
+                      dtype)
+        d1 = _bn_pair(p['branch1_dwnorm'], s['branch1_dwnorm'], d1, dtype)
+        b1 = _mm_pair(d1, _kernel2d(p['branch1_conv']), dtype)
+    else:
+        d1 = _dw(pair_or_dense, p['branch1_dwconv']['kernel'], stride, dtype)
+        d1 = _bn(p['branch1_dwnorm'], s['branch1_dwnorm'], d1, dtype)
+        b1 = _mm(d1, _kernel2d(p['branch1_conv']), dtype)
+    b1 = nn.relu(_bn(p['branch1_norm'], s['branch1_norm'], b1, dtype))
+
+    if is_pair:
+        b2 = _mm_pair(pair_or_dense, _kernel2d(p['branch2_conv1']), dtype)
+    else:
+        b2 = _mm(pair_or_dense, _kernel2d(p['branch2_conv1']), dtype)
+    b2 = nn.relu(_bn(p['branch2_norm1'], s['branch2_norm1'], b2, dtype))
+    b2 = _dw(b2, p['branch2_dwconv']['kernel'], stride, dtype)
+    b2 = _bn(p['branch2_dwnorm'], s['branch2_dwnorm'], b2, dtype)
+    b2 = _mm(b2, _kernel2d(p['branch2_conv2']), dtype)
+    b2 = nn.relu(_bn(p['branch2_norm2'], s['branch2_norm2'], b2, dtype))
+
+    # logical = interleave(b1, b2): the pair IS the state — no routing
+    return b1, b2
+
+
+def supports_pair(module) -> bool:
+    """Pair-plan eligibility: every stage half-width must be even."""
+    if not supports(module):
+        return False
+    return all((c // 2) % 2 == 0 for c in module.stages_out_channels[1:4])
+
+
+def backbone_apply_pair(module: ShuffleNetV2K, variables, x: jnp.ndarray,
+                        prefix: str = 'basenet') -> jnp.ndarray:
+    """Inference forward with symbolic routing (pair plan)."""
+    p = variables['params'][prefix]
+    s = variables['batch_stats'][prefix]
+    dtype = module.dtype
+
+    x = x.astype(dtype)
+    k1 = p['conv1']['kernel'].astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x, k1, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    x = nn.relu(_bn(p['conv1_norm'], s['conv1_norm'], x, dtype))
+
+    state = x            # dense into stage 2
+    for stage_i, repeats in enumerate(module.stages_repeats, start=2):
+        state = _block_stride2_pair(
+            state, p[f'stage{stage_i}_0'], s[f'stage{stage_i}_0'], 2, dtype)
+        for bi in range(1, repeats):
+            state = _block_stride1_pair(
+                state, p[f'stage{stage_i}_{bi}'], s[f'stage{stage_i}_{bi}'],
+                dtype)
+
+    # conv5 folds the final interleave for free
+    x = _mm_pair(state, _kernel2d(p['conv5']), dtype)
+    x = nn.relu(_bn(p['conv5_norm'], s['conv5_norm'], x, dtype))
+    return x

@@ -209,3 +209,50 @@ class TestTrainPlan:
         # running stats moved (batch mode BN was active)
         after = np.asarray(new_state.batch_stats['basenet']['conv1_norm']['mean'])
         assert float(np.abs(after - before).max()) > 0
+
+
+class TestPairPlan:
+    """r4 symbolic-routing (pair) plan vs baseline and vs the r3 plan."""
+
+    @pytest.mark.parametrize('base_name', ['shufflenetv2k16',
+                                           'shufflenetv2x1'])
+    def test_pair_matches_baseline_f32(self, base_name):
+        import jax
+
+        model = build(base_name, bf16=False)
+        assert fused_shufflenet.supports_pair(model.module.basenet)
+        variables = perturb_stats(model.variables)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 65, 65, 3)).astype(np.float32)
+
+        base = jax.jit(lambda v, xx: model.module.basenet.apply(
+            {'params': v['params']['basenet'],
+             'batch_stats': v['batch_stats']['basenet']},
+            xx, False))(variables, x)
+        pair = jax.jit(lambda v, xx: fused_shufflenet.backbone_apply_pair(
+            model.module.basenet, v, xx))(variables, x)
+        np.testing.assert_allclose(np.asarray(pair), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_pair_matches_r3_plan_bf16(self):
+        import jax
+
+        model = build('shufflenetv2k16', bf16=True)
+        variables = perturb_stats(model.variables)
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 65, 65, 3)).astype(np.float32)
+        r3 = jax.jit(lambda v, xx: fused_shufflenet.backbone_apply(
+            model.module.basenet, v, xx))(variables, x)
+        r4 = jax.jit(lambda v, xx: fused_shufflenet.backbone_apply_pair(
+            model.module.basenet, v, xx))(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(r4, np.float32), np.asarray(r3, np.float32),
+            rtol=0.03, atol=0.03)
+
+    def test_width_gate(self):
+        from openpifpaf_tpu.models.shufflenetv2k import ShuffleNetV2K
+
+        # stage width not divisible by 4 -> half odd -> pair plan refuses
+        mod = ShuffleNetV2K(stages_repeats=(2, 2, 2),
+                            stages_out_channels=(24, 46, 92, 184, 184))
+        assert not fused_shufflenet.supports_pair(mod)
