@@ -234,10 +234,16 @@ def shell_apply_train(model, variables, x: jnp.ndarray):
     Same contract as ``model.apply(..., train=True,
     mutable=['batch_stats'])``: returns ``(fields, {'batch_stats': ...})``.
     Requires ``cross_talk == 0`` and dropout-free heads (the defaults);
-    callers gate on :func:`supports_train`.
+    callers gate on :func:`supports_train`.  Uses the r4 pair plan when
+    the stage widths allow it.
     """
-    features, new_backbone_stats = backbone_apply_train(
-        model.module.basenet, variables, x)
+    basenet = model.module.basenet
+    if supports_pair(basenet):
+        features, new_backbone_stats = backbone_apply_pair_train(
+            basenet, variables, x)
+    else:
+        features, new_backbone_stats = backbone_apply_train(
+            basenet, variables, x)
     outs = []
     for i, head in enumerate(model.module.head_nets):
         outs.append(head.apply(
@@ -456,3 +462,128 @@ def backbone_apply_pair(module: ShuffleNetV2K, variables, x: jnp.ndarray,
     x = _mm_pair(state, _kernel2d(p['conv5']), dtype)
     x = nn.relu(_bn(p['conv5_norm'], s['conv5_norm'], x, dtype))
     return x
+
+
+# ---------------------------------------------------------------------------
+# pair TRAINING plan: symbolic routing + batch-mode BN.
+#
+# BatchNorm statistics are per-channel over (N, H, W), so computing them on
+# the parity halves of a logical tensor yields exactly the per-channel
+# values of the baseline; running-stat updates are re-interleaved back into
+# the canonical stats tensors.  In stride-1 blocks every BN operates on a
+# dense canonical-order tensor anyway (the b2 chain), so only the stride-2
+# block's branch1_dwnorm needs the pair treatment.
+# ---------------------------------------------------------------------------
+
+def _interleave_vec(a, b):
+    return jnp.stack([a, b], axis=-1).reshape(-1)
+
+
+def _bn_train_pair(params, stats, pair, dtype, momentum):
+    a, b = pair
+
+    def side(x, sl):
+        return _bn_train(
+            {'scale': params['scale'][sl], 'bias': params['bias'][sl]},
+            {'mean': stats['mean'][sl], 'var': stats['var'][sl]},
+            x, dtype, momentum)
+
+    ya, sa = side(a, slice(0, None, 2))
+    yb, sb = side(b, slice(1, None, 2))
+    merged = {'mean': _interleave_vec(sa['mean'], sb['mean']),
+              'var': _interleave_vec(sa['var'], sb['var'])}
+    return (ya, yb), merged
+
+
+def _block_stride1_pair_train(pair, p, s, dtype, momentum):
+    a, b = pair
+    half = a.shape[-1]
+    q = half // 2
+    new_s = {}
+
+    def bn(name, t):
+        y, new_s[name] = _bn_train(p[name], s[name], t, dtype, momentum)
+        return y
+
+    w1 = _kernel2d(p['branch2_conv1'])
+    b2 = (_mm(a[..., q:], w1[0::2], dtype)
+          + _mm(b[..., q:], w1[1::2], dtype))
+    b2 = nn.relu(bn('branch2_norm1', b2))
+    b2 = _dw(b2, p['branch2_dwconv']['kernel'], 1, dtype)
+    b2 = bn('branch2_dwnorm', b2)
+    b2 = _mm(b2, _kernel2d(p['branch2_conv2']), dtype)
+    b2 = nn.relu(bn('branch2_norm2', b2))
+
+    pe, po = _interleave_matrices(q)
+    x1 = (_mm(a[..., :q], jnp.asarray(pe), dtype)
+          + _mm(b[..., :q], jnp.asarray(po), dtype))
+    return (x1, b2), new_s
+
+
+def _block_stride2_pair_train(pair_or_dense, p, s, stride, dtype, momentum):
+    is_pair = isinstance(pair_or_dense, tuple)
+    new_s = {}
+
+    def bn(name, t):
+        y, new_s[name] = _bn_train(p[name], s[name], t, dtype, momentum)
+        return y
+
+    if is_pair:
+        d1 = _dw_pair(pair_or_dense, p['branch1_dwconv']['kernel'], stride,
+                      dtype)
+        d1, new_s['branch1_dwnorm'] = _bn_train_pair(
+            p['branch1_dwnorm'], s['branch1_dwnorm'], d1, dtype, momentum)
+        b1 = _mm_pair(d1, _kernel2d(p['branch1_conv']), dtype)
+    else:
+        d1 = _dw(pair_or_dense, p['branch1_dwconv']['kernel'], stride, dtype)
+        d1 = bn('branch1_dwnorm', d1)
+        b1 = _mm(d1, _kernel2d(p['branch1_conv']), dtype)
+    b1 = nn.relu(bn('branch1_norm', b1))
+
+    if is_pair:
+        b2 = _mm_pair(pair_or_dense, _kernel2d(p['branch2_conv1']), dtype)
+    else:
+        b2 = _mm(pair_or_dense, _kernel2d(p['branch2_conv1']), dtype)
+    b2 = nn.relu(bn('branch2_norm1', b2))
+    b2 = _dw(b2, p['branch2_dwconv']['kernel'], stride, dtype)
+    b2 = bn('branch2_dwnorm', b2)
+    b2 = _mm(b2, _kernel2d(p['branch2_conv2']), dtype)
+    b2 = nn.relu(bn('branch2_norm2', b2))
+
+    return (b1, b2), new_s
+
+
+def backbone_apply_pair_train(module: ShuffleNetV2K, variables,
+                              x: jnp.ndarray, prefix: str = 'basenet',
+                              momentum: float = 0.9):
+    """Training forward with symbolic routing; returns
+    ``(features, new_backbone_batch_stats)``."""
+    p = variables['params'][prefix]
+    s = variables['batch_stats'][prefix]
+    dtype = module.dtype
+    new_stats = {}
+
+    x = x.astype(dtype)
+    k1 = p['conv1']['kernel'].astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x, k1, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    x, new_stats['conv1_norm'] = _bn_train(
+        p['conv1_norm'], s['conv1_norm'], x, dtype, momentum)
+    x = nn.relu(x)
+
+    state = x
+    for stage_i, repeats in enumerate(module.stages_repeats, start=2):
+        name = f'stage{stage_i}_0'
+        state, new_stats[name] = _block_stride2_pair_train(
+            state, p[name], s[name], 2, dtype, momentum)
+        for bi in range(1, repeats):
+            name = f'stage{stage_i}_{bi}'
+            state, new_stats[name] = _block_stride1_pair_train(
+                state, p[name], s[name], dtype, momentum)
+
+    x = _mm_pair(state, _kernel2d(p['conv5']), dtype)
+    x, new_stats['conv5_norm'] = _bn_train(
+        p['conv5_norm'], s['conv5_norm'], x, dtype, momentum)
+    x = nn.relu(x)
+    return x, new_stats
