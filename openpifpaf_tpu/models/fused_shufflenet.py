@@ -587,3 +587,14 @@ def backbone_apply_pair_train(module: ShuffleNetV2K, variables,
         p['conv5_norm'], s['conv5_norm'], x, dtype, momentum)
     x = nn.relu(x)
     return x, new_stats
+
+
+def backbone_features(module: ShuffleNetV2K, variables,
+                      x: jnp.ndarray, prefix: str = 'basenet') -> jnp.ndarray:
+    """Fastest supported inference backbone forward (pair plan when the
+    widths allow, r3 matmul-routing plan otherwise).  Used by the tracking
+    shell (``TrackingModel.apply_fast`` / frame-feature caching in
+    ``video.py``) where only the backbone is shared-weight fusable."""
+    if supports_pair(module):
+        return backbone_apply_pair(module, variables, x, prefix)
+    return backbone_apply(module, variables, x, prefix)

@@ -75,7 +75,36 @@ class TrackingModel(Model):
         self.variables = self.module.init(rng, dummy, train=False)
         return self.variables
 
+    def _fused_ok(self, variables) -> bool:
+        from . import fused_shufflenet  # local: avoid import cycle
+
+        return (self.fused_inference and 'batch_stats' in variables
+                and fused_shufflenet.supports(self.module.basenet))
+
+    def apply_fast(self, variables, x):
+        """Inference forward honoring the paired (TCAF) heads.
+
+        The generic ``Model.apply_fast`` shell path would feed
+        single-frame features to the paired heads (caught by
+        ``tests/test_tracking.py::test_tracking_apply_fast``); this
+        override runs the fused backbone on the interleaved frame batch
+        and dispatches the heads through the tracking shell method."""
+        from . import fused_shufflenet
+
+        if self._fused_ok(variables):
+            feats = fused_shufflenet.backbone_features(
+                self.module.basenet, variables, x)
+            return self.module.apply(
+                variables, feats, train=False,
+                method=TrackingShell.heads_from_features)
+        return self.module.apply(variables, x, train=False)
+
     def backbone_features(self, variables, x, train: bool = False):
+        from . import fused_shufflenet
+
+        if not train and self._fused_ok(variables):
+            return fused_shufflenet.backbone_features(
+                self.module.basenet, variables, x)
         return self.module.apply(variables, x, train=train,
                                  method=TrackingShell.backbone_features)
 

@@ -291,3 +291,38 @@ class TestSequenceSegmentation(TestTrackingPose):
                      meta={'sequence_id': 'img1'})
         assert len(anns_c) == 1
         assert anns_c[0].id_ == anns_b[0].id_
+
+
+def test_tracking_apply_fast_matches_baseline():
+    """TrackingModel.apply_fast must honor the paired TCAF head: the
+    generic shell fast path would feed single-frame features to the
+    channel-concatenated head (it raised a shape error before the r4
+    override); the tracking override runs the fused backbone and the
+    tracking-shell head dispatch, matching the baseline apply."""
+    import jax
+    import numpy as np
+
+    from openpifpaf_tpu import models
+    from openpifpaf_tpu.plugins.posetrack.cocokpst import tracking_head_metas
+    from openpifpaf_tpu.plugins.coco import constants
+
+    head_metas = tracking_head_metas(
+        'cocokpst', keypoints=constants.COCO_KEYPOINTS,
+        sigmas=constants.COCO_PERSON_SIGMAS,
+        pose=constants.COCO_UPRIGHT_POSE,
+        skeleton=constants.COCO_PERSON_SKELETON,
+        score_weights=constants.COCO_PERSON_SCORE_WEIGHTS)
+    model = models.Factory(base_name='tshufflenetv2k16',
+                           bf16=False).from_scratch('tshufflenetv2k16',
+                                                    head_metas)
+    model.init(jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 81, 81, 3)).astype(np.float32)
+    base = jax.jit(lambda v, xx: model.module.apply(v, xx, train=False))(
+        model.variables, x)
+    fast = jax.jit(lambda v, xx: model.apply_fast(v, xx))(model.variables, x)
+    assert len(base) == len(fast)
+    for b, f in zip(base, fast):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
