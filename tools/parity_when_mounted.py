@@ -214,6 +214,38 @@ def main(argv=None) -> int:
     if diffs is not None:
         print('per-head forward max|diff| vs reference:', json.dumps(diffs))
 
+    # independent-torch cross-validation of the CONVERTED weights: run the
+    # same converted state through tools/torch_models.py (plain torch.nn,
+    # reference naming) — catches conv/BN/PixelShuffle convention
+    # divergence even when the reference package itself does not import
+    # (tests/test_torch_crossval.py is the CI version on random weights)
+    try:
+        import torch
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import torch_models
+        from openpifpaf_tpu.models import converter as conv_mod
+
+        sd = conv_mod.to_torch_state_dict(model.variables,
+                                          basenet_name=args.basenet)
+        tshell = torch_models.build_shell(
+            args.basenet,
+            [(m.n_fields, m.n_components) for m in model.head_metas],
+            upsample_stride=model.head_metas[0].upsample_stride)
+        tshell.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in sd.items()}, strict=True)
+        tshell.eval()
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1, 129, 129, 3)).astype(np.float32)
+        with torch.no_grad():
+            t_outs = tshell(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        f_outs = model(x)
+        xdev = max(float(np.abs(np.asarray(a) - b.numpy()).max())
+                   for a, b in zip(f_outs, t_outs))
+        print(f'independent-torch cross-validation max|diff|: {xdev:.2e}')
+    except Exception as e:  # keep the parity run going; report the leg
+        print(f'independent-torch cross-validation failed: {e}')
+
     eval_cmd = (f'python -m openpifpaf_tpu.eval --dataset=cocokp '
                 f'--checkpoint={npz}')
     if args.coco_annotations:
