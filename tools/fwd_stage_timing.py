@@ -99,13 +99,23 @@ def main():
         return nn.relu(fs._bn(p['conv1_norm'], s['conv1_norm'], x, dtype))
 
     def make_stage(stage_i, repeats):
+        # r4 pair plan: stages consume/produce (a, b) pairs; the probe
+        # materializes at segment boundaries only (interleave matmuls) so
+        # segments remain independently timeable
         def seg(x):
-            x = fs._block_stride2(x, p[f'stage{stage_i}_0'],
-                                  s[f'stage{stage_i}_0'], 2, dtype)
+            state = (x[..., 0::2], x[..., 1::2]) if stage_i > 2 else x
+            state = fs._block_stride2_pair(
+                state, p[f'stage{stage_i}_0'], s[f'stage{stage_i}_0'], 2,
+                dtype)
             for bi in range(1, repeats):
-                x = fs._block_stride1(x, p[f'stage{stage_i}_{bi}'],
-                                      s[f'stage{stage_i}_{bi}'], dtype)
-            return x
+                state = fs._block_stride1_pair(
+                    state, p[f'stage{stage_i}_{bi}'],
+                    s[f'stage{stage_i}_{bi}'], dtype)
+            a, b = state
+            q = a.shape[-1]
+            pe, po = fs._interleave_matrices(q)
+            return (fs._mm(a, jnp.asarray(pe), dtype)
+                    + fs._mm(b, jnp.asarray(po), dtype))
         return seg
 
     def seg_conv5(x):
