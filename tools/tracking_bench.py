@@ -151,12 +151,92 @@ def main():
         floors.append((time.perf_counter() - start) / N_INNER)
     t0 = statistics.median(floors)
 
+    # ---- r4: FULL per-frame video hot path ----------------------------
+    # fused (pair-plan) backbone on the new frame + heads over the cached
+    # (prev, curr) feature pair + decode + TCAF association, all as ONE
+    # XLA program per frame across the vmapped streams — the number a
+    # video deployment actually sees (reference: per-frame python loop in
+    # ``src/openpifpaf/video.py`` + CPU association).
+    from openpifpaf_tpu import models
+    from openpifpaf_tpu.models import fused_shufflenet
+    from openpifpaf_tpu.models.tracking_base import TrackingShell
+    from openpifpaf_tpu.plugins.posetrack.cocokpst import tracking_head_metas
+
+    log('building tracking model for the full-frame chain...')
+    head_metas = tracking_head_metas(
+        'cocokpst', keypoints=constants.COCO_KEYPOINTS,
+        sigmas=constants.COCO_PERSON_SIGMAS,
+        pose=constants.COCO_UPRIGHT_POSE,
+        skeleton=constants.COCO_PERSON_SKELETON,
+        score_weights=constants.COCO_PERSON_SCORE_WEIGHTS)
+    factory = models.Factory(base_name='tshufflenetv2k16', bf16=True)
+    model = factory.from_scratch('tshufflenetv2k16', head_metas)
+    model.init(jax.random.key(0), input_hw=(65, 65))
+    variables = model.variables
+    feat_c = model.module.basenet.stages_out_channels[-1]
+
+    frames_np = rng.normal(size=(N_INNER, B, *IMAGE_HW, 3)).astype(
+        np.float32)
+    frames = jax.device_put(jnp.asarray(frames_np))
+
+    def frame_decode(cf, af, tf, prev_xyv, prev_valid):
+        decoded = decode_one(cf, af)
+        curr_valid = decoded.valid.astype(jnp.float32)
+        match = associate_one(tf, prev_xyv, prev_valid,
+                              decoded.xyv, curr_valid)
+        return decoded.xyv, curr_valid, match
+
+    vdecode = jax.vmap(frame_decode)
+
+    @jax.jit
+    def full_chain(frames, carry):
+        def body(c, frame_b):
+            scalar, prev_feats, prev_xyv, prev_valid = c
+            frame_b = frame_b + (scalar * 1e-6).astype(frame_b.dtype)
+            feats = fused_shufflenet.backbone_features(
+                model.module.basenet, variables, frame_b)    # (B, h, w, C)
+            pair = jnp.stack([prev_feats, feats], axis=1).reshape(
+                2 * B, *feats.shape[1:])
+            fields = model.module.apply(
+                variables, pair, train=False,
+                method=TrackingShell.heads_from_features)
+            cf = fields[0].reshape(B, 2, *fields[0].shape[1:])[:, 1]
+            af = fields[1].reshape(B, 2, *fields[1].shape[1:])[:, 1]
+            tf = fields[2]
+            xyv, valid, match = vdecode(cf, af, tf, prev_xyv, prev_valid)
+            scalar = (scalar * 1.000001 + xyv.sum().astype(jnp.float32)
+                      * 1e-9 + match.sum().astype(jnp.float32))
+            return (scalar, feats, xyv, valid), ()
+
+        carry, _ = jax.lax.scan(body, carry, frames)
+        return carry
+
+    fh, fw = h, w
+    carry = (jnp.zeros((), jnp.float32),
+             jnp.zeros((B, fh, fw, feat_c), jnp.bfloat16),
+             jnp.zeros((B, max_poses, k, 3), jnp.float32),
+             jnp.zeros((B, max_poses), jnp.float32))
+    log('compile + time FULL frame chain (backbone+heads+decode+assoc)...')
+    carry = full_chain(frames, carry)
+    jax.block_until_ready(carry)
+    times = []
+    for _ in range(N_CALLS):
+        start = time.perf_counter()
+        carry = full_chain(frames, carry)
+        sc = float(carry[0])
+        times.append((time.perf_counter() - start) / N_INNER)
+        assert np.isfinite(sc)
+    t_full = statistics.median(times)
+
     out = {
         'metric': 'tracking_decode_assoc_ms_per_frame_641px',
         'raw_ms_per_frame': round(t / B * 1e3, 3),
         'floor_ms_per_frame': round(t0 / B * 1e3, 3),
         'ms_per_frame': round((t - t0) / B * 1e3, 3),
         'frames_per_s': round(B / (t - t0), 1),
+        'full_frame_raw_ms': round(t_full / B * 1e3, 3),
+        'full_frame_ms': round((t_full - t0) / B * 1e3, 3),
+        'full_frame_fps_per_stream': round(1e0 / ((t_full - t0) / B), 1),
         'streams': B,
         'budgets': {'max_poses': max_poses,
                     'max_track_candidates': track_config.max_candidates},
