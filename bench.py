@@ -170,13 +170,21 @@ def noop_floor_time(n_inner: int, n_calls: int):
     return statistics.median(times), times
 
 
-def main():
+def main(argv=None):
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from openpifpaf_tpu import models, ops
     from openpifpaf_tpu import headmeta
     from openpifpaf_tpu.plugins.coco import constants
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--basenet', default='shufflenetv2k16',
+                        help='backbone to bench (driver runs the default)')
+    args = parser.parse_args(argv)
+    basenet = args.basenet
 
     batch = 8
     image_hw = (641, 641)
@@ -191,8 +199,8 @@ def main():
                        keypoints=constants.COCO_KEYPOINTS,
                        sigmas=constants.COCO_PERSON_SIGMAS,
                        skeleton=constants.COCO_PERSON_SKELETON)
-    factory = models.Factory(base_name='shufflenetv2k16', bf16=True)
-    model = factory.from_scratch('shufflenetv2k16', [cif, caf])
+    factory = models.Factory(base_name=basenet, bf16=True)
+    model = factory.from_scratch(basenet, [cif, caf])
     model.init(jax.random.key(0), input_hw=(65, 65))
     variables = model.variables
 
@@ -334,7 +342,8 @@ def main():
         return 1
 
     print(json.dumps({
-        'metric': 'e2e_forward_decode_fps_641px_sn2k16',
+        'metric': f'e2e_forward_decode_fps_641px_'
+                  f"{basenet.replace('shufflenetv2', 'sn2')}",
         'value': round(fps, 2),
         'unit': 'images/s',
         'vs_baseline': round(fps / BASELINE_E2E_FPS, 2),
