@@ -39,6 +39,13 @@ def register_basenet(spec: BaseNetworkSpec) -> BaseNetworkSpec:
     return spec
 
 
+# BatchNorm numerics shared between NormFactory and the fused execution
+# plans (models/fused_shufflenet.py) — a single source of truth so the
+# plans cannot silently diverge from the baseline module.
+BN_EPSILON = 1e-5
+BN_MOMENTUM = 0.9
+
+
 class NormFactory:
     """Configurable normalization layer factory (batch/instance/group norm).
 
@@ -46,8 +53,8 @@ class NormFactory:
     ``basenetworks.py``.
     """
 
-    def __init__(self, kind: str = 'batchnorm', epsilon: float = 1e-5,
-                 momentum: float = 0.9):
+    def __init__(self, kind: str = 'batchnorm', epsilon: float = BN_EPSILON,
+                 momentum: float = BN_MOMENTUM):
         if kind not in ('batchnorm', 'instancenorm', 'groupnorm', 'none'):
             raise ValueError(f'unknown norm kind {kind!r}')
         self.kind = kind

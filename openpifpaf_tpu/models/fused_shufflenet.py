@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .base import BN_EPSILON, BN_MOMENTUM
 from .shufflenetv2k import ShuffleNetV2K
 
 
@@ -60,7 +61,7 @@ def _routing_matrices(c: int):
 def _bn(params, stats, x, dtype):
     """Inference BatchNorm with flax numerics (momentum irrelevant here)."""
     return nn.BatchNorm(
-        use_running_average=True, epsilon=1e-5, dtype=dtype,
+        use_running_average=True, epsilon=BN_EPSILON, dtype=dtype,
         param_dtype=jnp.float32).apply(
             {'params': params, 'batch_stats': stats}, x)
 
@@ -139,7 +140,7 @@ def supports(module) -> bool:
 
 def _bn_train(params, stats, x, dtype, momentum):
     bn = nn.BatchNorm(use_running_average=False, momentum=momentum,
-                      epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32)
+                      epsilon=BN_EPSILON, dtype=dtype, param_dtype=jnp.float32)
     y, mut = bn.apply({'params': params, 'batch_stats': stats}, x,
                       mutable=['batch_stats'])
     return y, mut['batch_stats']
@@ -192,7 +193,7 @@ def _block_stride2_train(x, p, s, stride, dtype, momentum):
 
 
 def backbone_apply_train(module: ShuffleNetV2K, variables, x: jnp.ndarray,
-                         prefix: str = 'basenet', momentum: float = 0.9):
+                         prefix: str = 'basenet', momentum: float = BN_MOMENTUM):
     """Training forward of the backbone: folded routing + batch-mode BN.
 
     Returns ``(features, new_backbone_batch_stats)`` with the stats tree
@@ -235,28 +236,45 @@ def shell_apply_train(model, variables, x: jnp.ndarray):
     mutable=['batch_stats'])``: returns ``(fields, {'batch_stats': ...})``.
     Requires ``cross_talk == 0`` and dropout-free heads (the defaults);
     callers gate on :func:`supports_train`.  Uses the r4 pair plan when
-    the stage widths allow it.
+    the stage widths allow it.  Tracking shells (``TrackingShell``, with a
+    ``head_paired`` attribute) get their paired (TCAF) heads fed the
+    channel-concatenated frame-pair features, exactly like
+    ``TrackingShell.heads_from_features``.
     """
-    basenet = model.module.basenet
+    shell = model.module
+    basenet = shell.basenet
     if supports_pair(basenet):
         features, new_backbone_stats = backbone_apply_pair_train(
             basenet, variables, x)
     else:
         features, new_backbone_stats = backbone_apply_train(
             basenet, variables, x)
+
+    head_paired = getattr(shell, 'head_paired', None)
+    if head_paired is not None:
+        # TrackingShell.heads_from_features pair fold, train-mode
+        b2, h, w, c = features.shape
+        pair = features.reshape(b2 // 2, 2, h, w, c)
+        paired_feats = jnp.concatenate([pair[:, 0], pair[:, 1]], axis=-1)
+    else:
+        head_paired = [False] * len(shell.head_nets)
+        paired_feats = None
     outs = []
-    for i, head in enumerate(model.module.head_nets):
+    for i, (head, is_paired) in enumerate(zip(shell.head_nets, head_paired)):
         outs.append(head.apply(
             {'params': variables['params'][f'head_nets_{i}']},
-            features, train=True))
+            paired_feats if is_paired else features, train=True))
     return outs, {'batch_stats': {'basenet': new_backbone_stats}}
 
 
 def supports_train(model, variables) -> bool:
     """Training-plan eligibility: batchnorm ShuffleNetV2K shell with no
-    CrossTalk and no head dropout (both reference defaults)."""
+    CrossTalk, no head dropout (both reference defaults), and the basenet
+    as the only batch-stats-carrying submodule (a future head/shell with
+    norm layers must fail loudly here, not train with frozen stats)."""
     return (supports(model.module.basenet)
             and 'batch_stats' in variables
+            and set(variables['batch_stats'].keys()) == {'basenet'}
             and getattr(model.module, 'cross_talk', 0.0) == 0.0
             and all(getattr(h, 'dropout_rate', 0.0) == 0.0
                     for h in model.module.head_nets))
@@ -555,7 +573,7 @@ def _block_stride2_pair_train(pair_or_dense, p, s, stride, dtype, momentum):
 
 def backbone_apply_pair_train(module: ShuffleNetV2K, variables,
                               x: jnp.ndarray, prefix: str = 'basenet',
-                              momentum: float = 0.9):
+                              momentum: float = BN_MOMENTUM):
     """Training forward with symbolic routing; returns
     ``(features, new_backbone_batch_stats)``."""
     p = variables['params'][prefix]

@@ -211,6 +211,77 @@ class TestTrainPlan:
         assert float(np.abs(after - before).max()) > 0
 
 
+class TestTrackingTrainPlan:
+    """r5 advisor fix: the fused training plan must honor TrackingShell's
+    paired (TCAF) head dispatch — before the fix, shell_apply_train fed
+    single-frame features to the 2x-channel Tcaf head and the documented
+    tracking warm-start training recipe crashed at the first step."""
+
+    def build_tracking(self):
+        import jax
+
+        from openpifpaf_tpu import datasets, models
+
+        dm = datasets.factory('toykpst')
+        type(dm).n_images = 4
+        type(dm).image_size = 81
+        type(dm).batch_size = 2
+        model = models.Factory(base_name='tshufflenetv2k16',
+                               bf16=False).factory(
+            head_metas=dm.head_metas, rng=jax.random.key(0))
+        return dm, model
+
+    def test_supports_and_matches_baseline(self):
+        import jax
+
+        dm, model = self.build_tracking()
+        assert fused_shufflenet.supports_train(model, model.variables)
+        variables = perturb_stats(model.variables)
+        images, _, _ = next(iter(dm.train_loader()))
+
+        base, base_mut = jax.jit(
+            lambda v, x: model.module.apply(v, x, train=True,
+                                            mutable=['batch_stats']))(
+            variables, images)
+        fused, fused_mut = jax.jit(
+            lambda v, x: fused_shufflenet.shell_apply_train(model, v, x))(
+            variables, images)
+        assert len(base) == len(fused)
+        for b, f in zip(base, fused):
+            assert b.shape == f.shape
+            np.testing.assert_allclose(np.asarray(f), np.asarray(b),
+                                       atol=2e-4, rtol=1e-4)
+        import jax as _jax
+        _jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
+            base_mut['batch_stats'], fused_mut['batch_stats'])
+
+    def test_trainer_step_runs(self):
+        """The documented warm-start recipe path: a Trainer-built train
+        step on a tracking model (fused plan active) must run."""
+        import tempfile
+
+        from openpifpaf_tpu import losses
+        from openpifpaf_tpu.training.optimize import OptimizeFactory
+        from openpifpaf_tpu.training.trainer import Trainer
+
+        dm, model = self.build_tracking()
+        loss_fn = losses.Factory().factory(model.head_metas)
+        trainer = Trainer(model, loss_fn, OptimizeFactory(),
+                          tempfile.mkdtemp() + '/model.npz')
+        state = trainer.init_state(steps_per_epoch=2)
+        trainer._build_steps()
+        images, targets, _ = next(iter(dm.train_loader()))
+        before = np.asarray(
+            state.batch_stats['basenet']['conv1_norm']['mean'])
+        new_state, total, _ = trainer._train_step(state, images, targets)
+        assert np.isfinite(float(total))
+        after = np.asarray(
+            new_state.batch_stats['basenet']['conv1_norm']['mean'])
+        assert float(np.abs(after - before).max()) > 0
+
+
 class TestPairPlan:
     """r4 symbolic-routing (pair) plan vs baseline and vs the r3 plan."""
 
