@@ -7,13 +7,16 @@ modules (``trainer.py:~300``); converting them is required for the
 reference package is importable; unpickling whole modules requires the
 reference code itself) and maps it onto this framework's parameter tree.
 
-Supported trunks: ShuffleNetV2K (k16/k30/k44) and ResNet (50/101/152),
-plus CompositeField4 heads — the checkpointed model families of the
-reference zoo.  Tensor layout translation:
+Supported trunks: ShuffleNetV2K (k16/k30/k44), ResNet (50/101/152) and
+Swin (t/s/b, microsoft state-dict naming), plus CompositeField4 heads —
+the checkpointed model families of the reference zoo.  Tensor layout
+translation:
 
 - conv kernels: torch OIHW -> flax HWIO
 - depthwise conv kernels: torch (C, 1, kh, kw) -> flax (kh, kw, 1, C)
+- linear kernels: torch (out, in) -> flax Dense (in, out)
 - batch norm: weight/bias -> scale/bias params; running stats -> batch_stats
+- layer norm: weight/bias -> scale/bias params
 
 The inverse direction (``to_torch_state_dict``) exists for parity debugging
 and as the round-trip test of the mapping tables.
@@ -121,9 +124,69 @@ def _bn_leaf(flax_prefix: str, torch_leaf: str) -> Tuple[str, str]:
     return coll, f'{flax_prefix}/{leaf}'
 
 
+def _ln_leaf(flax_prefix: str, torch_leaf: str) -> Tuple[str, str]:
+    mapping = {'weight': 'scale', 'bias': 'bias'}
+    return 'params', f'{flax_prefix}/{mapping[torch_leaf]}'
+
+
+def _translate_swin(key: str) -> Tuple[str, str]:
+    """Microsoft-Swin state-dict naming -> the flax ``models/swin.py`` tree.
+
+    Reference surface: ``src/openpifpaf/network/basenetworks.py:~650``
+    (the reference vendors the microsoft Swin implementation; its
+    checkpoints use ``layers.S.blocks.B.attn.qkv.weight`` etc.).  The
+    stride-16 dense-prediction adaptation replaces the final patch
+    merging with a channel projection (``layers.2.proj.weight`` here,
+    ``merge3_proj`` in flax) — that one tensor has no upstream-zoo
+    counterpart and is produced by our own exporter
+    (``tools/torch_models.py::Swin``).
+    """
+    m = re.match(r'patch_embed\.proj\.(weight|bias)$', key)
+    if m:
+        leaf = 'kernel' if m.group(1) == 'weight' else 'bias'
+        return 'params', f'patch_embed/{leaf}'
+    m = re.match(r'patch_embed\.norm\.(\w+)$', key)
+    if m:
+        return _ln_leaf('patch_norm', m.group(1))
+    m = re.match(r'norm\.(\w+)$', key)
+    if m:
+        return _ln_leaf('norm_out', m.group(1))
+    m = re.match(r'layers\.(\d)\.downsample\.norm\.(\w+)$', key)
+    if m:
+        return _ln_leaf(f'merge{int(m.group(1)) + 1}/norm', m.group(2))
+    m = re.match(r'layers\.(\d)\.downsample\.reduction\.weight$', key)
+    if m:
+        return 'params', f'merge{int(m.group(1)) + 1}/reduction/kernel'
+    m = re.match(r'layers\.2\.proj\.weight$', key)
+    if m:
+        return 'params', 'merge3_proj/kernel'
+    m = re.match(r'layers\.(\d)\.blocks\.(\d+)\.(.*)$', key)
+    if m:
+        stage, block, rest = m.groups()
+        prefix = f'stage{stage}_block{block}'
+        mm = re.match(r'norm([12])\.(\w+)$', rest)
+        if mm:
+            return _ln_leaf(f'{prefix}/norm{mm.group(1)}', mm.group(2))
+        mm = re.match(r'attn\.(qkv|proj)\.(weight|bias)$', rest)
+        if mm:
+            leaf = 'kernel' if mm.group(2) == 'weight' else 'bias'
+            return 'params', f'{prefix}/attn/{mm.group(1)}/{leaf}'
+        if rest == 'attn.relative_position_bias_table':
+            return 'params', f'{prefix}/attn/relative_position_bias_table'
+        if rest in ('attn.relative_position_index', 'attn_mask'):
+            return 'skip', ''
+        mm = re.match(r'mlp\.fc([12])\.(weight|bias)$', rest)
+        if mm:
+            fc, wb = mm.group(1), mm.group(2)
+            leaf = 'kernel' if wb == 'weight' else 'bias'
+            return 'params', f'{prefix}/mlp_fc{fc}/{leaf}'
+    raise KeyError(key)
+
+
 _BASENET_TRANSLATORS = {
     'shufflenetv2k': _translate_shufflenet,
     'resnet': _translate_resnet,
+    'swin': _translate_swin,
 }
 
 
@@ -157,7 +220,9 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray],
             if coll == 'skip':
                 continue
             if path.endswith('/kernel'):
-                value = _conv_to_flax(value)
+                # conv OIHW -> HWIO; Linear (out, in) -> Dense (in, out)
+                value = (_conv_to_flax(value) if value.ndim == 4
+                         else value.T)
             flat[f'{coll}/basenet/{path}'] = value
         elif key.startswith('head_nets.'):
             m = re.match(r'head_nets\.(\d+)\.conv\.(weight|bias)$', key)
@@ -199,7 +264,8 @@ def to_torch_state_dict(variables, *,
         if path in forward:
             name = forward[path]
             if path.endswith('/kernel'):
-                value = _conv_to_torch(value)
+                value = (_conv_to_torch(value) if value.ndim == 4
+                         else value.T)
             out[name] = value
             continue
         m = re.match(r'params/head_nets_(\d+)/conv/(kernel|bias)$', path)
@@ -257,6 +323,24 @@ def _enumerate_torch_keys(flat, translate):
             for leaf in ('weight', 'bias', 'running_mean', 'running_var'):
                 candidates.append(
                     f'base_net.layer{layer}.{block}.downsample.1.{leaf}')
+
+    # swin (microsoft naming; generous grid over stages/blocks)
+    for leaf in ('weight', 'bias'):
+        candidates.append(f'base_net.patch_embed.proj.{leaf}')
+        candidates.append(f'base_net.patch_embed.norm.{leaf}')
+        candidates.append(f'base_net.norm.{leaf}')
+    for stage in range(4):
+        for leaf in ('weight', 'bias'):
+            candidates.append(f'base_net.layers.{stage}.downsample.norm.{leaf}')
+        candidates.append(f'base_net.layers.{stage}.downsample.reduction.weight')
+        for block in range(24):
+            base = f'base_net.layers.{stage}.blocks.{block}'
+            for mod in ('norm1', 'norm2', 'attn.qkv', 'attn.proj',
+                        'mlp.fc1', 'mlp.fc2'):
+                for leaf in ('weight', 'bias'):
+                    candidates.append(f'{base}.{mod}.{leaf}')
+            candidates.append(f'{base}.attn.relative_position_bias_table')
+    candidates.append('base_net.layers.2.proj.weight')
 
     out = []
     for cand in candidates:

@@ -61,10 +61,10 @@ class HRFormerBlock(nn.Module):
         hidden = int(self.dim * self.mlp_ratio)
         y = nn.LayerNorm(param_dtype=jnp.float32, name='norm2')(x)
         y = nn.Conv(hidden, (1, 1), name='mlp_fc1', **kw)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Conv(hidden, (3, 3), padding=1, feature_group_count=hidden,
                     name='mlp_dwconv', **kw)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Conv(self.dim, (1, 1), name='mlp_fc2', **kw)(y)
         return x + y
 

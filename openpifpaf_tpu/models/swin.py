@@ -103,7 +103,7 @@ class SwinBlock(nn.Module):
         win = self.window
 
         shortcut = x
-        x = nn.LayerNorm(param_dtype=jnp.float32, name='norm1')(x)
+        x = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name='norm1')(x)
 
         pad_h = (win - h % win) % win
         pad_w = (win - w % win) % win
@@ -126,9 +126,9 @@ class SwinBlock(nn.Module):
         x = x[:, :h, :w]
         x = shortcut + x
 
-        y = nn.LayerNorm(param_dtype=jnp.float32, name='norm2')(x)
+        y = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name='norm2')(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name='mlp_fc1', **kw)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name='mlp_fc2', **kw)(y)
         return x + y
 
@@ -159,7 +159,7 @@ class PatchMerging(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         x = jnp.concatenate([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
                              x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
-        x = nn.LayerNorm(param_dtype=jnp.float32, name='norm')(x)
+        x = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name='norm')(x)
         return nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32, name='reduction')(x)
 
@@ -180,7 +180,7 @@ class Swin(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(self.embed_dim, (4, 4), strides=4, name='patch_embed',
                     **kw)(x)
-        x = nn.LayerNorm(param_dtype=jnp.float32, name='patch_norm')(x)
+        x = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name='patch_norm')(x)
 
         for stage_i, (depth, heads) in enumerate(
                 zip(self.depths, self.num_heads)):
@@ -198,7 +198,7 @@ class Swin(nn.Module):
                               shift=0 if block_i % 2 == 0 else self.window // 2,
                               dtype=self.dtype,
                               name=f'stage{stage_i}_block{block_i}')(x, train)
-        x = nn.LayerNorm(param_dtype=jnp.float32, name='norm_out')(x)
+        x = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name='norm_out')(x)
         return x
 
 

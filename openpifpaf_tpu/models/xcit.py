@@ -37,7 +37,7 @@ class ConvStem(nn.Module):
                         name=f'conv{i}', **kw)(x)
             x = norm(self, f'norm{i}', x, train)
             if i < len(dims) - 1:
-                x = nn.gelu(x)
+                x = nn.gelu(x, approximate=False)
         return x
 
 
@@ -98,7 +98,7 @@ class XCiTBlock(nn.Module):
         y = nn.Conv(self.dim, (3, 3), padding=1,
                     feature_group_count=self.dim, name='lpi_conv1',
                     use_bias=True, **kw)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Conv(self.dim, (3, 3), padding=1,
                     feature_group_count=self.dim, name='lpi_conv2',
                     use_bias=True, **kw)(y)
@@ -107,7 +107,7 @@ class XCiTBlock(nn.Module):
         # MLP
         y = nn.LayerNorm(param_dtype=jnp.float32, name='norm3')(tokens)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name='mlp_fc1', **kw)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name='mlp_fc2', **kw)(y)
         tokens = tokens + y
         return tokens.reshape(b, h, w, c)

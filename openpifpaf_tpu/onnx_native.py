@@ -489,6 +489,11 @@ class GraphBuilder:
         self.nodes.append(node('Tanh', [x], [out]))
         return out
 
+    def erf(self, x: str) -> str:
+        out = self.name('erf')
+        self.nodes.append(node('Erf', [x], [out]))
+        return out
+
     def reduce_mean(self, x: str, axes: Sequence[int]) -> str:
         out = self.name('rmean')
         self.nodes.append(node('ReduceMean', [x], [out], '',
@@ -689,6 +694,10 @@ def execute_model(model_dict: Dict, inputs: Dict) -> Dict:
             out = np.sqrt(ins[0])
         elif op == 'Tanh':
             out = np.tanh(ins[0])
+        elif op == 'Erf':
+            from math import erf as _erf
+            out = np.vectorize(_erf, otypes=[np.float32])(
+                ins[0]).astype(ins[0].dtype)
         elif op == 'ReduceSum':
             out = ins[0].sum(axis=tuple(int(i) for i in ins[1]),
                              keepdims=bool(a['keepdims']['i']))
@@ -902,13 +911,15 @@ def _emit_mhsa(g: GraphBuilder, x: str, p: Dict, name: str, *,
     return g.reshape(y, (1, dim, h, w))
 
 
-def _emit_ln(g: GraphBuilder, x: str, p: Dict, name: str, axis: int) -> str:
-    """flax ``nn.LayerNorm`` (epsilon 1e-6) over the given axis,
+def _emit_ln(g: GraphBuilder, x: str, p: Dict, name: str, axis: int,
+             eps: float = 1e-6) -> str:
+    """flax ``nn.LayerNorm`` over the given axis (epsilon 1e-6, the flax
+    default; the Swin path passes 1e-5 — microsoft/reference parity),
     decomposed to opset-13 ops (LayerNormalization is opset >= 17)."""
     mean = g.reduce_mean(x, (axis,))
     d = g.sub(x, mean)
     var = g.reduce_mean(g.mul(d, d), (axis,))
-    y = g.div(d, g.sqrt(g.add_const(var, 1e-6)))
+    y = g.div(d, g.sqrt(g.add_const(var, eps)))
     y = g.mul(y, g.init_tensor(f'{name}.scale',
                                np.asarray(p['scale'], np.float32)))
     return g.add(y, g.init_tensor(f'{name}.bias',
@@ -916,11 +927,11 @@ def _emit_ln(g: GraphBuilder, x: str, p: Dict, name: str, axis: int) -> str:
 
 
 def _emit_gelu(g: GraphBuilder, x: str) -> str:
-    """tanh-approximate GELU (flax ``nn.gelu`` default)."""
-    x3 = g.mul(g.mul(x, x), x)
-    inner = g.add(x, g.mul_const(x3, 0.044715))
-    t = g.tanh(g.mul_const(inner, 0.7978845608028654))   # sqrt(2/pi)
-    return g.mul(g.mul_const(x, 0.5), g.add_const(t, 1.0))
+    """Exact (erf) GELU — reference transformer parity (the microsoft/timm
+    implementations the reference vendors use ``nn.GELU()`` = erf form;
+    the flax models pass ``approximate=False`` to match, r5)."""
+    e = g.erf(g.mul_const(x, 0.7071067811865476))        # 1/sqrt(2)
+    return g.mul(g.mul_const(x, 0.5), g.add_const(e, 1.0))
 
 
 def _emit_roll(g: GraphBuilder, x: str, s: int, axis: int, size: int) -> str:
@@ -976,7 +987,7 @@ def _emit_swin_block(g: GraphBuilder, x: str, p: Dict, name: str, *,
     from .models.swin import SwinBlock
 
     shortcut = x
-    x = _emit_ln(g, x, p['norm1'], f'{name}.norm1', axis=3)
+    x = _emit_ln(g, x, p['norm1'], f'{name}.norm1', axis=3, eps=1e-5)
 
     pad_h = (win - h % win) % win
     pad_w = (win - w % win) % win
@@ -1008,7 +1019,7 @@ def _emit_swin_block(g: GraphBuilder, x: str, p: Dict, name: str, *,
         x = g.slice_axes(x, (0, 0), (h, w), (1, 2))
     x = g.add(shortcut, x)
 
-    y = _emit_ln(g, x, p['norm2'], f'{name}.norm2', axis=3)
+    y = _emit_ln(g, x, p['norm2'], f'{name}.norm2', axis=3, eps=1e-5)
     y = g.dense(y, p['mlp_fc1'], f'{name}.mlp_fc1')
     y = _emit_gelu(g, y)
     y = g.dense(y, p['mlp_fc2'], f'{name}.mlp_fc2')
@@ -1030,7 +1041,8 @@ def _emit_swin(g: GraphBuilder, basenet, params, stats, input_hw):
                      tot_h - tot_h // 2, tot_w - tot_w // 2),
                bias=params['patch_embed']['bias'])
     x = g.transpose(x, (0, 2, 3, 1))                    # (1, h, w, C)
-    x = _emit_ln(g, x, params['patch_norm'], 'basenet.patch_norm', axis=3)
+    x = _emit_ln(g, x, params['patch_norm'], 'basenet.patch_norm', axis=3,
+                 eps=1e-5)
 
     for stage_i, (depth, heads) in enumerate(
             zip(basenet.depths, basenet.num_heads)):
@@ -1049,7 +1061,7 @@ def _emit_swin(g: GraphBuilder, basenet, params, stats, input_hw):
                     for sh, sw in ((0, 0), (1, 0), (0, 1), (1, 1))]
                 x = g.concat(parts, axis=3)
                 x = _emit_ln(g, x, mp['norm'], f'basenet.{mname}.norm',
-                             axis=3)
+                             axis=3, eps=1e-5)
                 x = g.dense(x, mp['reduction'], f'basenet.{mname}.reduction')
                 h, w = hp // 2, wp // 2
             else:
@@ -1062,7 +1074,8 @@ def _emit_swin(g: GraphBuilder, basenet, params, stats, input_hw):
                 heads=heads, win=basenet.window,
                 shift=0 if block_i % 2 == 0 else basenet.window // 2)
 
-    x = _emit_ln(g, x, params['norm_out'], 'basenet.norm_out', axis=3)
+    x = _emit_ln(g, x, params['norm_out'], 'basenet.norm_out', axis=3,
+                 eps=1e-5)
     return g.transpose(x, (0, 3, 1, 2)), h, w
 
 

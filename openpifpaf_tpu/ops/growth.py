@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import nms as nms_mod
 from .caf_scored import CafCandidates
 from .seeds import Seeds
 
@@ -58,6 +59,14 @@ class GrowthConfig:
     # top-k outweigh the round reduction), so the default stays at the
     # exact semantics; the knob exists for other skeleton topologies.
     placements_per_round: int = 1
+    # r5 wave-recycled growth (:func:`grow_waves`): pose slots freed by the
+    # exact seed-claim fixpoint are refilled with the next unclaimed seeds
+    # in score order — the budget semantics of the sequential reference,
+    # where a skipped (claimed) seed never consumes max_poses budget
+    # (``cifcaf.cpp:~140``).  Bounds the number of refill waves; the loop
+    # early-exits as soon as a wave seeds nothing (no free slots or no
+    # eligible seeds), so extra waves only run under budget pressure.
+    max_waves: int = 8
 
 
 class DirectedEdges(NamedTuple):
@@ -318,7 +327,8 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
          cand: CafCandidates, edges: DirectedEdges,
          config: GrowthConfig, *, keypoint_threshold: float = None,
          reverse_match: bool = None, n_rounds: int = None,
-         force_cand: CafCandidates = None):
+         force_cand: CafCandidates = None,
+         fresh_onehot: jnp.ndarray = None):
     """Run frontier relaxation until all joints are placed or K-1 rounds.
 
     Each round every pose places its single best frontier joint — the
@@ -329,6 +339,15 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
     ``cifcaf.cpp:~380`` rebuilds CafScored with the relaxed threshold for
     that pass only); the first pass always consumes ``cand`` built at the
     normal ``caf_score_th``.
+
+    ``fresh_onehot`` (P, K), when given, marks the joints whose out-edge
+    connections must be computed in the first round (defaults to
+    ``placed``).  The wave-recycled driver (:func:`grow_waves`) passes the
+    onehot of the *newly seeded* slots only: already-grown poses are at
+    their growth fixed point — every frontier attempt they could make
+    already failed — so their cached connection values stay zero and they
+    are inert by construction, while the fresh slots grow exactly as a
+    cold start.
     """
     p, k = poses.shape[0], poses.shape[1]
     kp_th = config.keypoint_threshold if keypoint_threshold is None \
@@ -442,7 +461,7 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
         if seed_incremental:
             tables = tuple(jnp.zeros((p, q_n + 1), jnp.float32)
                            for _ in range(5))
-            new_onehot = placed
+            new_onehot = placed if fresh_onehot is None else fresh_onehot
         else:
             full = _connection_values(poses, placed, pose_valid, pass_cand,
                                       edges, config, reverse)
@@ -466,3 +485,137 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
                                       0.0, False, fc_cand), False, fc_cand,
                             seed_incremental=False)
     return poses, placed
+
+
+def compact_seeds(seeds: Seeds, config: GrowthConfig):
+    """Radius dedup + compaction of the full seed list, in rank order.
+
+    The same seed-vs-seed suppression :func:`init_poses` applies to its
+    top-``max_poses`` window, over the *whole* static seed budget: a seed
+    is dropped when a stronger seed of the same field lies within the
+    dedup radius (the sequential reference achieves this implicitly via
+    the occupancy grid of the stronger seed's grown pose,
+    ``cifcaf.cpp:~140``; the exact cross-pose part runs as the claim
+    fixpoint).  Returns ``(x, y, v, s, f, valid)`` each (S,), sorted
+    descending by value — index == consumption rank.
+    """
+    s = seeds.v.shape[0]
+    r = jnp.maximum(config.seed_dedup_radius,
+                    config.seed_dedup_scale * seeds.s)
+    dx = seeds.x[None, :] - seeds.x[:, None]
+    dy = seeds.y[None, :] - seeds.y[:, None]
+    d2 = dx * dx + dy * dy
+    same_field = seeds.f[None, :] == seeds.f[:, None]
+    stronger = jnp.arange(s)[None, :] < jnp.arange(s)[:, None]
+    rr = jnp.maximum(r[None, :], r[:, None])
+    suppressed = jnp.any(
+        same_field & stronger & (d2 < rr * rr)
+        & seeds.valid[None, :], axis=1)
+    keep = seeds.valid & ~suppressed
+    # compact kept seeds to the front, preserving descending-v order
+    order = jnp.argsort(jnp.where(keep, -seeds.v, jnp.inf))
+    return (seeds.x[order], seeds.y[order],
+            jnp.where(keep[order], seeds.v[order], 0.0), seeds.s[order],
+            seeds.f[order].astype(jnp.int32), keep[order])
+
+
+def grow_waves(seeds: Seeds, cand: CafCandidates, edges: DirectedEdges, *,
+               n_keypoints: int, image_hw, config: GrowthConfig,
+               nms_config, force_cand: CafCandidates = None):
+    """Wave-recycled growth: the reference's seed-budget semantics.
+
+    The sequential reference (``cifcaf.cpp:~140``) skips occupancy-claimed
+    seeds *for free* — only grown poses consume the ``max_poses`` budget.
+    Single-wave parallel decode instead spends pose slots on duplicate
+    seeds that the claim fixpoint later kills, so under budget pressure
+    (dense scenes, 133-kp skeletons) it finds fewer poses than the oracle
+    at equal budgets (the r4 wholebody drift deficit, DRIFT_wholebody.md).
+
+    This driver restores the oracle semantics exactly: grow a wave, run
+    the exact seed-claim fixpoint (``nms.seed_claim_suppression`` with
+    explicit consumption ranks), then refill the freed slots with the next
+    *unclaimed* seeds in rank order and grow only those (already-grown
+    poses are inert — see :func:`grow`'s ``fresh_onehot``).  Claims only
+    flow from earlier-rank alive poses to later seeds, consumption is in
+    strictly increasing rank order, and claims are monotone across waves,
+    so the wave decomposition reproduces the sequential outcome for every
+    seed (the oracle tests each seed against exactly the alive poses of
+    earlier rank).  The loop exits as soon as a wave seeds nothing, which
+    on scenes without budget pressure is immediately after wave 1 — the
+    exact-parity COCO regime pays one eligibility check, nothing more.
+
+    Returns ``(poses, placed, alive, n_dropped, seed_f, seed_rank)``:
+    ``alive`` already includes the seed-claim suppression (callers must
+    not re-apply it), ``n_dropped`` counts eligible unclaimed seeds left
+    unconsumed (budget/wave overflow), ``seed_rank`` is each slot's seed
+    consumption rank.
+    """
+    sx, sy, sv, ss, sf, s_valid = compact_seeds(seeds, config)
+    s = sx.shape[0]
+    p = config.max_poses
+    k = n_keypoints
+    rows_p = jnp.arange(p)
+
+    def eligibility(poses, placed, alive, consumed):
+        claimed = nms_mod.points_claimed(
+            poses, placed, alive, sf, sx, sy,
+            image_hw=image_hw, config=nms_config)
+        return s_valid & ~consumed & ~claimed
+
+    def body(state):
+        poses, placed, slot_rank, slot_f, slot_valid, alive, consumed, \
+            wave, _ = state
+
+        eligible = eligibility(poses, placed, alive, consumed)
+        n_free = p - jnp.sum(alive, dtype=jnp.int32)
+        chosen = eligible & (jnp.cumsum(eligible) <= n_free)
+        n_new = jnp.sum(chosen, dtype=jnp.int32)
+
+        free_slots = jnp.argsort(alive, stable=True)          # (P,) free first
+        sel = jnp.argsort(~chosen, stable=True)[:p]           # (P,) chosen first
+        assign = rows_p < n_new
+        f_sel = jnp.clip(sf[sel], 0, k - 1)
+
+        seed_rows = jnp.zeros((p, k, 4), jnp.float32).at[rows_p, f_sel].set(
+            jnp.stack([sx[sel], sy[sel], sv[sel], ss[sel]], axis=-1))
+        old_rows = poses[free_slots]
+        poses = poses.at[free_slots].set(
+            jnp.where(assign[:, None, None], seed_rows, old_rows))
+
+        placed_rows = jnp.zeros((p, k), bool).at[rows_p, f_sel].set(True)
+        placed = placed.at[free_slots].set(
+            jnp.where(assign[:, None], placed_rows, placed[free_slots]))
+
+        slot_rank = slot_rank.at[free_slots].set(
+            jnp.where(assign, sel, slot_rank[free_slots]))
+        slot_f = slot_f.at[free_slots].set(
+            jnp.where(assign, f_sel, slot_f[free_slots]))
+        slot_valid = slot_valid.at[free_slots].set(
+            jnp.where(assign, True, slot_valid[free_slots]))
+        consumed = consumed | chosen
+
+        fresh = jnp.zeros((p, k), bool).at[free_slots, f_sel].set(assign)
+        poses, placed = grow(poses, placed, slot_valid, cand, edges, config,
+                             force_cand=force_cand, fresh_onehot=fresh)
+
+        alive = nms_mod.seed_claim_suppression(
+            poses, placed, slot_valid, slot_f, image_hw=image_hw,
+            config=nms_config, rank=slot_rank)
+        return (poses, placed, slot_rank, slot_f, slot_valid, alive,
+                consumed, wave + 1, n_new > 0)
+
+    def cond(state):
+        wave, seeded = state[7], state[8]
+        return seeded & (wave < config.max_waves)
+
+    init = (jnp.zeros((p, k, 4), jnp.float32), jnp.zeros((p, k), bool),
+            jnp.full((p,), s, jnp.int32), jnp.full((p,), k, jnp.int32),
+            jnp.zeros((p,), bool), jnp.zeros((p,), bool),
+            jnp.zeros((s,), bool), jnp.zeros((), jnp.int32),
+            jnp.ones((), bool))
+    poses, placed, slot_rank, slot_f, slot_valid, alive, consumed, _, _ = \
+        jax.lax.while_loop(cond, body, init)
+
+    n_dropped = jnp.sum(eligibility(poses, placed, alive, consumed),
+                        dtype=jnp.int32)
+    return poses, placed, alive, n_dropped, slot_f, slot_rank

@@ -64,7 +64,8 @@ def pose_scores(joint_v: jnp.ndarray, score_weights: jnp.ndarray) -> jnp.ndarray
 
 def seed_claim_suppression(poses: jnp.ndarray, placed: jnp.ndarray,
                            pose_valid: jnp.ndarray, seed_f: jnp.ndarray, *,
-                           image_hw, config: NMSConfig) -> jnp.ndarray:
+                           image_hw, config: NMSConfig,
+                           rank: jnp.ndarray = None) -> jnp.ndarray:
     """Exact seed-time occupancy suppression, computed post-growth.
 
     Reference semantics (``cifcaf.cpp:~140``): seeds are consumed in
@@ -87,6 +88,10 @@ def seed_claim_suppression(poses: jnp.ndarray, placed: jnp.ndarray,
 
     :param seed_f: (P,) int32 seed keypoint field per pose slot
         (out-of-range for invalid slots).
+    :param rank: (P,) optional seed consumption rank per slot; defaults to
+        the slot index.  The r5 wave-recycled growth (``growth.grow_waves``)
+        re-uses freed slots for later seeds, so consumption order is no
+        longer the slot order and must be passed explicitly.
     :returns: (P,) bool — True where the pose survives.
     """
     p, k = placed.shape
@@ -117,7 +122,8 @@ def seed_claim_suppression(poses: jnp.ndarray, placed: jnp.ndarray,
     y1 = jnp.clip(jnp.round(yg + r), 0, gh - 1)
     inside = ((x0 <= qx[None, :]) & (qx[None, :] <= x1)
               & (y0 <= qy[None, :]) & (qy[None, :] <= y1))
-    earlier = rows[:, None] < rows[None, :]
+    order = rows if rank is None else rank
+    earlier = order[:, None] < order[None, :]
     claims = (inside & c_placed & earlier
               & pose_valid[:, None] & pose_valid[None, :])   # (q, p)
 
@@ -134,6 +140,46 @@ def seed_claim_suppression(poses: jnp.ndarray, placed: jnp.ndarray,
         cond, body, (jnp.zeros((), jnp.int32), pose_valid,
                      jnp.zeros((), bool)))
     return alive
+
+
+def points_claimed(poses: jnp.ndarray, placed: jnp.ndarray,
+                   pose_alive: jnp.ndarray, f: jnp.ndarray, x: jnp.ndarray,
+                   y: jnp.ndarray, *, image_hw,
+                   config: NMSConfig) -> jnp.ndarray:
+    """Occupancy query of (f, x, y) points against alive grown poses.
+
+    The oracle ``Occupancy.get`` (``occupancy.cpp:~15``) evaluated in
+    parallel: point ``i`` is claimed when any alive pose's *placed* joint
+    of field ``f[i]`` covers the point's quantized grid cell with its
+    ``max(min_scale, joint_scale)`` square.  Quantization mirrors
+    :func:`seed_claim_suppression` bit for bit (same oracle geometry).
+
+    poses: (P, K, 4); placed: (P, K); pose_alive: (P,);
+    f/x/y: (N,) query points.  Returns (N,) bool.
+    """
+    red = config.occupancy_reduction
+    gh = int(np.ceil(image_hw[0] / red)) + 1
+    gw = int(np.ceil(image_hw[1] / red)) + 1
+    k = placed.shape[1]
+    fq = jnp.clip(f, 0, k - 1)
+
+    qx = jnp.clip(jnp.round(x / red), 0, gw - 1)            # (N,)
+    qy = jnp.clip(jnp.round(y / red), 0, gh - 1)
+
+    cx = poses[:, fq, 0]                                    # (P, N)
+    cy = poses[:, fq, 1]
+    cs = poses[:, fq, 3]
+    c_placed = placed[:, fq]
+    r = jnp.maximum(config.occupancy_min_scale, cs) / red
+    xg = cx / red
+    yg = cy / red
+    x0 = jnp.clip(jnp.round(xg - r), 0, gw - 1)
+    x1 = jnp.clip(jnp.round(xg + r), 0, gw - 1)
+    y0 = jnp.clip(jnp.round(yg - r), 0, gh - 1)
+    y1 = jnp.clip(jnp.round(yg + r), 0, gh - 1)
+    inside = ((x0 <= qx[None, :]) & (qx[None, :] <= x1)
+              & (y0 <= qy[None, :]) & (qy[None, :] <= y1))
+    return jnp.any(inside & c_placed & pose_alive[:, None], axis=0)
 
 
 def keypoint_nms(poses: jnp.ndarray, pose_valid: jnp.ndarray,

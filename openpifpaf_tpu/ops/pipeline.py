@@ -177,17 +177,20 @@ def decode_cifcaf_single(cif_field: jnp.ndarray, caf_field: jnp.ndarray, *,
                           caf_meta=caf_meta, config=config)
     fk = cif_meta.n_fields
 
-    # 4) parallel frontier growth
+    # 4) wave-recycled parallel frontier growth (exact seed-claim fixpoint
+    # between waves — claimed seeds never consume max_poses budget, the
+    # reference's semantics; r5, closes the wholebody budget deficit)
     edges = growth.directed_edges(skeleton)
-    poses, placed, pose_valid, _, n_dropped_poses, seed_f = growth.init_poses(
-        fe.sds, n_keypoints=fk, config=config.growth)
-    poses, placed = growth.grow(poses, placed, pose_valid, fe.cands, edges,
-                                config.growth, force_cand=fe.cands_fc)
+    poses, placed, pose_valid, n_dropped_poses, _, _ = growth.grow_waves(
+        fe.sds, fe.cands, edges, n_keypoints=fk, image_hw=config.image_hw,
+        config=config.growth, nms_config=config.nms,
+        force_cand=fe.cands_fc)
 
-    # 5-6) seed occupancy + joint scale refinement + keypoint NMS
+    # 5-6) joint scale refinement + keypoint NMS (seed-claim suppression
+    # already applied inside the wave loop)
     poses_out, joint_scales, scores, valid = finalize_poses(
         poses, placed, pose_valid, fe.scale_px,
-        score_weights=score_weights, config=config, seed_f=seed_f)
+        score_weights=score_weights, config=config, seed_f=None)
     n_dropped_cif = fe.n_dropped_cif
     n_dropped_caf = fe.n_dropped_caf
 

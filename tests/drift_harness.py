@@ -324,14 +324,13 @@ class Harness:
 
         @jax.jit
         def back(fe):
-            poses, placed, pose_valid, _, _, seed_f = growth.init_poses(
-                fe.sds, n_keypoints=n_kp, config=cfg.growth)
-            poses, placed = growth.grow(poses, placed, pose_valid, fe.cands,
-                                        edges, cfg.growth,
-                                        force_cand=fe.cands_fc)
+            poses, placed, alive, _, _, _ = growth.grow_waves(
+                fe.sds, fe.cands, edges, n_keypoints=n_kp,
+                image_hw=cfg.image_hw, config=cfg.growth,
+                nms_config=cfg.nms, force_cand=fe.cands_fc)
             return pipeline.finalize_poses(
-                poses, placed, pose_valid, fe.scale_px,
-                score_weights=score_weights, config=cfg, seed_f=seed_f)
+                poses, placed, alive, fe.scale_px,
+                score_weights=score_weights, config=cfg, seed_f=None)
 
         @jax.jit
         def finalize(poses, placed, pose_valid, scale_px):

@@ -102,6 +102,55 @@ class TestTorchConverter:
             np.testing.assert_array_equal(flat_orig[key], flat_back[key],
                                           err_msg=key)
 
+    def test_roundtrip_swin(self):
+        """Swin translation tables (r5): every variable must round-trip
+        through the microsoft-style torch naming unchanged."""
+        model = build_model('swin_t')
+        variables = jax.tree.map(np.asarray, model.variables)
+        sd = converter.to_torch_state_dict(variables, basenet_name='swin_t')
+        assert any(k.startswith('base_net.layers.0.blocks.0.attn.qkv')
+                   for k in sd)
+        back = converter.convert_state_dict(sd, basenet_name='swin_t')
+        flat_orig = dict(models.checkpoint.flatten_tree(variables))
+        flat_back = dict(models.checkpoint.flatten_tree(back))
+        assert set(flat_orig) == set(flat_back)
+        for key in flat_orig:
+            np.testing.assert_array_equal(flat_orig[key], flat_back[key],
+                                          err_msg=key)
+
+    def test_migrate_cli_from_torch_swin(self, tmp_path):
+        """migrate --from-torch accepts a swin state dict (r4 Missing #4)."""
+        torch = pytest.importorskip('torch')
+
+        model = build_model('swin_t')
+        variables = jax.tree.map(np.asarray, model.variables)
+        sd = converter.to_torch_state_dict(variables, basenet_name='swin_t')
+        torch_path = tmp_path / 'swin_reference.pt'
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()}, str(torch_path))
+
+        out_path = tmp_path / 'swin_converted.npz'
+        env = dict(os.environ)
+        env['PALLAS_AXON_POOL_IPS'] = ''
+        env['JAX_PLATFORMS'] = 'cpu'
+        result = subprocess.run(
+            [sys.executable, '-m', 'openpifpaf_tpu.migrate',
+             '--from-torch', str(torch_path),
+             '--basenet', 'swin_t', '--dataset', 'cocokp',
+             '--output', str(out_path)],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env, capture_output=True, text=True, timeout=600)
+        assert result.returncode == 0, result.stderr[-2000:]
+        converted = models.Factory(checkpoint=str(out_path),
+                                   bf16=False).factory()
+        x = np.random.default_rng(0).normal(
+            size=(1, 33, 33, 3)).astype(np.float32)
+        got = converted(x)
+        want = model(x)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-6)
+
     def test_migrate_cli_from_torch(self, tmp_path):
         """Full path: torch-saved state dict -> migrate CLI -> loadable."""
         torch = pytest.importorskip('torch')

@@ -109,7 +109,11 @@ def assert_forward_match(model, tmodel, hw, atol, seed=0):
 @pytest.mark.parametrize('basenet_name,hw,atol', [
     ('shufflenetv2k16', (81, 81), 1e-4),
     ('shufflenetv2k16', (64, 64), 1e-4),   # even size stresses pad parity
+    ('shufflenetv2k30', (81, 81), 1e-4),   # flagship widths (r4 Missing #4)
     ('resnet50', (81, 81), 1e-4),
+    # window attention + relative bias + patch merging + shift masks +
+    # exact-gelu + LN-eps conventions (r4 Missing #4: transformer leg)
+    ('swin_t', (81, 81), 5e-4),
 ])
 def test_flax_to_torch(basenet_name, hw, atol):
     model = build_flax(basenet_name)
@@ -123,7 +127,9 @@ def test_flax_to_torch(basenet_name, hw, atol):
     assert_forward_match(model, tmodel, hw, atol)
 
 
-@pytest.mark.parametrize('basenet_name', ['shufflenetv2k16', 'resnet50'])
+@pytest.mark.parametrize('basenet_name', ['shufflenetv2k16',
+                                          'shufflenetv2k30', 'resnet50',
+                                          'swin_t'])
 def test_torch_to_flax(basenet_name):
     """The mounted-day direction: a torch state dict converted onto the
     flax tree must execute identically."""

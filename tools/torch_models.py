@@ -212,6 +212,206 @@ class Shell(nn.Module):
         return [head(features) for head in self.head_nets]
 
 
+def _same_pad(x: torch.Tensor, kernel: int, stride: int) -> torch.Tensor:
+    """XLA SAME padding semantics (extra padding goes to the right/bottom)."""
+    _, _, h, w = x.shape
+
+    def pads(size):
+        out = -(-size // stride)
+        total = max(0, (out - 1) * stride + kernel - size)
+        return total // 2, total - total // 2
+
+    t, b = pads(h)
+    l, r = pads(w)
+    return nn.functional.pad(x, (l, r, t, b))
+
+
+def swin_relative_position_index(w: int) -> torch.Tensor:
+    """(w*w, w*w) indices into the (2w-1)^2 bias table (microsoft layout)."""
+    coords = torch.stack(torch.meshgrid(torch.arange(w), torch.arange(w),
+                                        indexing='ij')).flatten(1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.permute(1, 2, 0) + (w - 1)
+    return rel[..., 0] * (2 * w - 1) + rel[..., 1]
+
+
+class SwinWindowAttention(nn.Module):
+    """Microsoft-Swin window attention: packed qkv + relative bias table."""
+
+    def __init__(self, dim: int, num_heads: int, window: int):
+        super().__init__()
+        self.dim = dim
+        self.num_heads = num_heads
+        self.window = window
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+        self.relative_position_bias_table = nn.Parameter(
+            torch.zeros((2 * window - 1) ** 2, num_heads))
+        self.register_buffer('relative_position_index',
+                             swin_relative_position_index(window),
+                             persistent=False)
+
+    def forward(self, x: torch.Tensor, mask: torch.Tensor = None):
+        n, l, c = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = self.qkv(x).reshape(n, l, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(1, 2) for i in range(3))
+        attn = (q * head_dim ** -0.5) @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.view(-1)].view(
+            l, l, self.num_heads).permute(2, 0, 1)
+        attn = attn + bias[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.view(n // nw, nw, self.num_heads, l, l)
+            attn = attn + mask[None, :, None]
+            attn = attn.view(n, self.num_heads, l, l)
+        attn = attn.softmax(dim=-1)
+        y = (attn @ v).transpose(1, 2).reshape(n, l, self.dim)
+        return self.proj(y)
+
+
+class SwinBlock(nn.Module):
+    def __init__(self, dim: int, num_heads: int, window: int = 7,
+                 shift: int = 0, mlp_ratio: float = 4.0):
+        super().__init__()
+        self.window = window
+        self.shift = shift
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = SwinWindowAttention(dim, num_heads, window)
+        self.norm2 = nn.LayerNorm(dim)
+        # microsoft-Swin naming: mlp.fc1 / mlp.fc2 (reference checkpoints)
+        self.mlp = nn.ModuleDict({
+            'fc1': nn.Linear(dim, int(dim * mlp_ratio)),
+            'fc2': nn.Linear(int(dim * mlp_ratio), dim),
+        })
+
+    @staticmethod
+    def _partition(x: torch.Tensor, w: int) -> torch.Tensor:
+        b, h, ww, c = x.shape
+        x = x.view(b, h // w, w, ww // w, w, c)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, w * w, c)
+
+    @staticmethod
+    def _reverse(windows: torch.Tensor, w: int, h: int, ww: int):
+        b = windows.shape[0] // ((h // w) * (ww // w))
+        x = windows.view(b, h // w, ww // w, w, w, -1)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(b, h, ww, -1)
+
+    def _attn_mask(self, hp: int, wp: int) -> torch.Tensor:
+        win, shift = self.window, self.shift
+        img_mask = torch.zeros(hp, wp)
+        cnt = 0
+        for hs in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
+            for ws in (slice(0, -win), slice(-win, -shift),
+                       slice(-shift, None)):
+                img_mask[hs, ws] = cnt
+                cnt += 1
+        m = self._partition(img_mask[None, :, :, None], win)[..., 0]
+        diff = m[:, None, :] - m[:, :, None]
+        return torch.where(diff != 0, -100.0, 0.0)
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        """x: (B, H, W, C) channels-last."""
+        b, h, w, c = x.shape
+        win = self.window
+        shortcut = x
+        x = self.norm1(x)
+        pad_h = (win - h % win) % win
+        pad_w = (win - w % win) % win
+        x = nn.functional.pad(x, (0, 0, 0, pad_w, 0, pad_h))
+        hp, wp = h + pad_h, w + pad_w
+        if self.shift > 0:
+            x = torch.roll(x, (-self.shift, -self.shift), dims=(1, 2))
+            mask = self._attn_mask(hp, wp)
+        else:
+            mask = None
+        windows = self._partition(x, win)
+        windows = self.attn(windows, mask)
+        x = self._reverse(windows, win, hp, wp)
+        if self.shift > 0:
+            x = torch.roll(x, (self.shift, self.shift), dims=(1, 2))
+        x = x[:, :h, :w]
+        x = shortcut + x
+        y = self.mlp['fc2'](nn.functional.gelu(
+            self.mlp['fc1'](self.norm2(x))))
+        return x + y
+
+
+class SwinPatchMerging(nn.Module):
+    def __init__(self, in_dim: int):
+        super().__init__()
+        self.norm = nn.LayerNorm(4 * in_dim)
+        self.reduction = nn.Linear(4 * in_dim, 2 * in_dim, bias=False)
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        b, h, w, c = x.shape
+        x = nn.functional.pad(x, (0, 0, 0, w % 2, 0, h % 2))
+        x = torch.cat([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                       x[:, 0::2, 1::2], x[:, 1::2, 1::2]], dim=-1)
+        return self.reduction(self.norm(x))
+
+
+class SwinLayer(nn.Module):
+    """One Swin stage: blocks + trailing downsample (microsoft layout)."""
+
+    def __init__(self, dim: int, depth: int, num_heads: int, window: int,
+                 downsample: str = None):
+        super().__init__()
+        self.blocks = nn.ModuleList([
+            SwinBlock(dim, num_heads, window,
+                      shift=0 if i % 2 == 0 else window // 2)
+            for i in range(depth)])
+        if downsample == 'merge':
+            self.downsample = SwinPatchMerging(dim)
+        elif downsample == 'proj':
+            # stride-16 dense-prediction adaptation: channel projection
+            # instead of the final patch merging (matches models/swin.py)
+            self.proj = nn.Linear(dim, 2 * dim, bias=False)
+            self.downsample = None
+        else:
+            self.downsample = None
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        for block in self.blocks:
+            x = block(x)
+        if self.downsample is not None:
+            x = self.downsample(x)
+        elif hasattr(self, 'proj'):
+            x = self.proj(x)
+        return x
+
+
+class Swin(nn.Module):
+    """Stride-16 Swin trunk, channels-last internally, NCHW interface."""
+
+    def __init__(self, embed_dim: int, depths: Sequence[int],
+                 num_heads: Sequence[int], window: int = 7):
+        super().__init__()
+        self.patch_embed = nn.ModuleDict({
+            'proj': nn.Conv2d(3, embed_dim, 4, stride=4),
+            'norm': nn.LayerNorm(embed_dim),
+        })
+        self.layers = nn.ModuleList()
+        for i, (depth, heads) in enumerate(zip(depths, num_heads)):
+            dim = embed_dim * (2 ** min(i, 3))
+            downsample = ('merge' if i < 2 else
+                          'proj' if i == 2 else None)
+            self.layers.append(SwinLayer(dim, depth, heads, window,
+                                         downsample))
+        self.norm = nn.LayerNorm(embed_dim * 8)
+        self.out_features = embed_dim * 8
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        x = self.patch_embed['proj'](_same_pad(x, 4, 4))
+        x = x.permute(0, 2, 3, 1)                 # channels-last
+        x = self.patch_embed['norm'](x)
+        for layer in self.layers:
+            x = layer(x)
+        x = self.norm(x)
+        return x.permute(0, 3, 1, 2)
+
+
 _BASENETS = {
     'shufflenetv2k16': lambda: ShuffleNetV2K(
         (4, 8, 4), (24, 348, 696, 1392, 1392)),
@@ -223,6 +423,9 @@ _BASENETS = {
         (4, 8, 4), (24, 116, 232, 464, 1024), kernel_size=3),
     'shufflenetv2x2': lambda: ShuffleNetV2K(
         (4, 8, 4), (24, 244, 488, 976, 2048), kernel_size=3),
+    'swin_t': lambda: Swin(96, (2, 2, 6, 2), (3, 6, 12, 24)),
+    'swin_s': lambda: Swin(96, (2, 2, 18, 2), (3, 6, 12, 24)),
+    'swin_b': lambda: Swin(128, (2, 2, 18, 2), (4, 8, 16, 32)),
     'resnet50': lambda: ResNet((3, 4, 6, 3)),
     'resnet101': lambda: ResNet((3, 4, 23, 3)),
     'resnet152': lambda: ResNet((3, 8, 36, 3)),

@@ -51,15 +51,15 @@ def decode_paths(model, cif_f, caf_f):
         jnp.asarray(cif_f), jnp.asarray(caf_f), cif_meta=cif_meta,
         caf_meta=caf_meta, config=config)
 
-    # production
+    # production (r5 wave-recycled growth, exact claim fixpoint inside)
     edges = growth.directed_edges(skeleton)
-    poses, placed, pose_valid, _, n_dropped_poses, seed_f = growth.init_poses(
-        fe.sds, n_keypoints=cif_meta.n_fields, config=config.growth)
-    poses, placed = growth.grow(poses, placed, pose_valid, fe.cands, edges,
-                                config.growth, force_cand=fe.cands_fc)
+    poses, placed, alive, n_dropped_poses, _, _ = growth.grow_waves(
+        fe.sds, fe.cands, edges, n_keypoints=cif_meta.n_fields,
+        image_hw=config.image_hw, config=config.growth,
+        nms_config=config.nms, force_cand=fe.cands_fc)
     p_out, _, p_scores, p_valid = pipeline.finalize_poses(
-        poses, placed, pose_valid, fe.scale_px,
-        score_weights=score_weights, config=config, seed_f=seed_f)
+        poses, placed, alive, fe.scale_px,
+        score_weights=score_weights, config=config, seed_f=None)
 
     # oracle
     o_list = sequential_oracle.decode_sequential(
