@@ -139,11 +139,15 @@ class CifCaf(Decoder):
         return [cls(head_metas[0], head_metas[1], dense_caf_meta=dense)]
 
     def _caf_field(self, fields, axis: int):
-        base = np.asarray(fields[self.base_caf_meta.head_index])
+        # stays on device: host-side asarray would both add a round-trip
+        # and break on multi-process global arrays (--dp-eval)
+        base = fields[self.base_caf_meta.head_index]
         if self.dense_caf_meta is None or not self.dense_connections:
             return base
-        dense = np.asarray(fields[self.dense_caf_meta.head_index])
-        return np.concatenate([base, dense], axis=axis)
+        import jax.numpy as jnp
+        dense = fields[self.dense_caf_meta.head_index]
+        return jnp.concatenate([jnp.asarray(base), jnp.asarray(dense)],
+                               axis=axis)
 
     # ------------------------------------------------------------------
     def config_for(self, image_hw: Tuple[int, int]) -> CifCafConfig:
@@ -288,17 +292,24 @@ class CifCaf(Decoder):
                       np.asarray(sds.x), np.asarray(sds.y),
                       np.asarray(sds.s)], axis=-1))
 
-    def batch_fields(self, fields, metas=None) -> List[List[Annotation]]:
+    def batch_decoded(self, fields):
+        """On-device batched decode, returning the static-shaped
+        ``DecodedPoses`` tensors (still device arrays — possibly sharded
+        over a multi-process global mesh; the multi-process ``--dp-eval``
+        path all_gathers these before the host transfer, SURVEY §7
+        "multi-host eval")."""
         cif_fields = fields[self.cif_meta.head_index]
         caf_fields = self._caf_field(fields, axis=1)
         h, w = cif_fields.shape[-2:]
         stride = self.cif_meta.stride
         image_hw = ((h - 1) * stride + 1, (w - 1) * stride + 1)
         decode = self._decoder_for(image_hw)
-        decoded = decode(cif_fields, caf_fields)
-        # single device->host transfer for the whole batch, then slice
-        decoded_np = type(decoded)(*[np.asarray(x) for x in decoded])
-        batch_size = cif_fields.shape[0]
+        return decode(cif_fields, caf_fields)
+
+    def annotations_from_decoded(self, decoded_np,
+                                 batch_size: int) -> List[List[Annotation]]:
+        """Host extraction: numpy ``DecodedPoses`` -> per-image annotation
+        lists (first ``batch_size`` images; the rest is dp padding)."""
         dropped_cif = int(decoded_np.n_dropped_cif.sum())
         dropped_caf = int(decoded_np.n_dropped_caf.sum())
         dropped_poses = int(decoded_np.n_dropped_poses.sum())
@@ -310,6 +321,13 @@ class CifCaf(Decoder):
                 dropped_cif, dropped_caf, dropped_poses)
         return [
             self.decoded_to_annotations(
-                type(decoded)(*[x[i] for x in decoded_np]))
+                type(decoded_np)(*[x[i] for x in decoded_np]))
             for i in range(batch_size)
         ]
+
+    def batch_fields(self, fields, metas=None) -> List[List[Annotation]]:
+        decoded = self.batch_decoded(fields)
+        # single device->host transfer for the whole batch, then slice
+        decoded_np = type(decoded)(*[np.asarray(x) for x in decoded])
+        batch_size = fields[self.cif_meta.head_index].shape[0]
+        return self.annotations_from_decoded(decoded_np, batch_size)

@@ -151,11 +151,21 @@ def cli(argv=None) -> argparse.Namespace:
 
 def main(argv=None) -> int:
     args = cli(argv)
+    if Predictor.data_parallel:
+        # multi-host eval rendezvous (same env contract as train --ddp)
+        from .parallel import mesh as mesh_mod
+        mesh_mod.initialize_distributed()
     datamodule = datasets.factory(args.dataset)
     predictor = Predictor(head_metas=datamodule.head_metas)
 
     evaluator = Evaluator(datamodule, predictor)
     stats = evaluator.run()
+
+    # rank-0-only output (reference contract: src/openpifpaf/eval.py:~150;
+    # every process computed identical stats from the all_gathered poses)
+    import jax
+    if jax.process_index() != 0:
+        return 0
 
     if args.output is None:
         checkpoint = models.Factory.checkpoint or 'model'

@@ -67,6 +67,16 @@ class GrowthConfig:
     # early-exits as soon as a wave seeds nothing (no free slots or no
     # eligible seeds), so extra waves only run under budget pressure.
     max_waves: int = 8
+    # radius-based seed-vs-seed pre-dedup in the wave path.  The oracle has
+    # no such rule — a seed is only ever skipped by the occupancy claim of
+    # a GROWN pose — and the radius geometry differs from the occupancy
+    # geometry, so the heuristic can kill a seed the oracle would grow
+    # (measured: the one residual noisy-COCO disagreement of the r5 wave
+    # decoder, DRIFT_noise.md).  Off = exact oracle semantics: duplicate
+    # seeds cost pose slots only within a wave, and the claim fixpoint +
+    # refill recycles them.  :func:`init_poses` (the legacy single-wave
+    # path) always dedups — without slot recycling the budget needs it.
+    seed_dedup: bool = False
 
 
 class DirectedEdges(NamedTuple):
@@ -490,15 +500,18 @@ def grow(poses: jnp.ndarray, placed: jnp.ndarray, pose_valid: jnp.ndarray,
 def compact_seeds(seeds: Seeds, config: GrowthConfig):
     """Radius dedup + compaction of the full seed list, in rank order.
 
-    The same seed-vs-seed suppression :func:`init_poses` applies to its
-    top-``max_poses`` window, over the *whole* static seed budget: a seed
-    is dropped when a stronger seed of the same field lies within the
-    dedup radius (the sequential reference achieves this implicitly via
-    the occupancy grid of the stronger seed's grown pose,
-    ``cifcaf.cpp:~140``; the exact cross-pose part runs as the claim
-    fixpoint).  Returns ``(x, y, v, s, f, valid)`` each (S,), sorted
-    descending by value — index == consumption rank.
+    With ``config.seed_dedup`` (off by default — the wave path's claim
+    fixpoint + slot recycling makes the heuristic unnecessary AND it can
+    diverge from the oracle, see the GrowthConfig note): a seed is dropped
+    when a stronger seed of the same field lies within the dedup radius.
+    Returns ``(x, y, v, s, f, valid)`` each (S,), sorted descending by
+    value — index == consumption rank (the raw seed list from
+    ``seeds.select`` is already value-sorted).
     """
+    if not config.seed_dedup:
+        return (seeds.x, seeds.y,
+                jnp.where(seeds.valid, seeds.v, 0.0), seeds.s,
+                seeds.f.astype(jnp.int32), seeds.valid)
     s = seeds.v.shape[0]
     r = jnp.maximum(config.seed_dedup_radius,
                     config.seed_dedup_scale * seeds.s)

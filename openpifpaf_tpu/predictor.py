@@ -61,21 +61,42 @@ class Predictor:
         self.total_images = 0
 
         self._mesh = None
-        if self.data_parallel and jax.process_count() > 1:
-            # the decode result is consumed host-side per image; a global
-            # multi-process array cannot be sliced like that — shard the
-            # eval loader across hosts instead (Loader.shard)
-            LOG.warning('--dp-eval is single-host only; disabled '
-                        '(%d processes)', jax.process_count())
-        elif self.data_parallel and jax.device_count() > 1:
+        self._multiprocess = False
+        self._gather = None
+        if self.data_parallel and jax.device_count() > 1:
             from .parallel import mesh as mesh_mod
 
             self._mesh = mesh_mod.data_mesh()
             self.model.variables = mesh_mod.replicate(self._mesh,
                                                       self.model.variables)
             n = self._mesh.shape['data']
-            LOG.info('data-parallel eval over %d devices', n)
-            if self.batch_size < n:
+            self._multiprocess = jax.process_count() > 1
+            if self._multiprocess:
+                # multi-host eval (SURVEY §7): every process feeds its
+                # slice of the global batch, forward+decode run sharded
+                # over the global data axis, and the static-shaped decoded
+                # pose tensors are all_gathered (one jitted identity with
+                # replicated out-shardings -> XLA all_gather over ICI)
+                # before the host transfer, so every process can extract
+                # annotations; rank 0 runs the metric (reference contract:
+                # rank-0-only eval, src/openpifpaf/eval.py:~150).
+                if not hasattr(self.decoder, 'batch_decoded'):
+                    LOG.warning(
+                        '%s has no batch_decoded tensor path; multi-process '
+                        '--dp-eval disabled', type(self.decoder).__name__)
+                    self._mesh = None
+                    self._multiprocess = False
+                else:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    rep = NamedSharding(self._mesh, PartitionSpec())
+                    self._gather = jax.jit(lambda t: t, out_shardings=rep)
+                    LOG.info(
+                        'multi-process data-parallel eval: %d processes, '
+                        '%d devices', jax.process_count(), n)
+            else:
+                LOG.info('data-parallel eval over %d devices', n)
+            if self._mesh is not None and self.batch_size < n:
                 LOG.warning(
                     'batch size %d < %d devices: batches are padded with '
                     'copies and the extra decodes discarded — set '
@@ -118,16 +139,25 @@ class Predictor:
         cls.multi_scale_factors = tuple(args.predictor_multi_scale_factors)
 
     def _place_batch(self, images: np.ndarray):
-        """Pad the batch to the device count and shard it over the mesh
-        (single-host: ``__init__`` disables the mesh multi-process)."""
+        """Pad the batch to the device count and shard it over the mesh.
+
+        Multi-process: every process sees the same global batch (the eval
+        loader is deterministic and iterated identically everywhere) and
+        contributes its contiguous slice —
+        ``jax.make_array_from_process_local_data`` assembles the global
+        array over the mesh's data axis."""
         if self._mesh is None:
             return jax.device_put(images), images.shape[0]
-        n_local = self._mesh.shape['data']
+        n_total = self._mesh.shape['data']
         b = images.shape[0]
-        pad = (-b) % n_local
+        pad = (-b) % n_total
         if pad:
             images = np.concatenate(
                 [images, np.repeat(images[-1:], pad, axis=0)], axis=0)
+        if self._multiprocess:
+            per = images.shape[0] // jax.process_count()
+            lo = jax.process_index() * per
+            images = images[lo:lo + per]
         from .parallel import mesh as mesh_mod
         placed = mesh_mod.shard_batch(self._mesh, images)
         return placed, b
@@ -180,7 +210,14 @@ class Predictor:
             self.total_nn_time += self.last_nn_time
 
             start = time.perf_counter()
-            if decoder_mod.Decoder.profile:
+            if self._multiprocess:
+                # sharded decode -> all_gather pose tensors -> host
+                decoded = self.decoder.batch_decoded(fields)
+                decoded = self._gather(decoded)
+                decoded_np = jax.tree.map(np.asarray, decoded)
+                pred_batch = self.decoder.annotations_from_decoded(
+                    decoded_np, len(meta_batch))
+            elif decoder_mod.Decoder.profile:
                 from .profiler import Profiler  # pylint: disable=import-outside-toplevel
 
                 with Profiler(out_name=decoder_mod.Decoder.profile)():

@@ -172,6 +172,108 @@ def _gather_decode(prefix: str, n_processes: int):
     return batches
 
 
+def _make_eval_checkpoint(path: str):
+    """Deterministic fresh checkpoint for the eval CLI (fixed rng)."""
+    script = f'''
+import os
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=1'
+import jax; jax.config.update('jax_platforms', 'cpu')
+from openpifpaf_tpu import datasets, models
+dm = datasets.factory('toykp')
+type(dm).n_images = 8
+type(dm).image_size = 81
+m = models.Factory(base_name='shufflenetv2k16', bf16=False).factory(
+    head_metas=dm.head_metas, rng=jax.random.key(0))
+# bias the head convs up so the untrained model emits dense fields and
+# the decode produces real poses (6-8 per image) — an all-zero-AP run
+# would make the parity assertion vacuous
+import numpy as np
+for h in ('head_nets_0', 'head_nets_1'):
+    b = np.asarray(m.variables['params'][h]['conv']['bias'])
+    m.variables['params'][h]['conv']['bias'] = b + 1.5
+models.checkpoint.save({path!r}, variables=m.variables,
+                       head_metas=m.head_metas,
+                       basenet_name='shufflenetv2k16', base_stride=16)
+'''
+    result = subprocess.run([sys.executable, '-c', script], cwd=REPO_ROOT,
+                            env=base_env(1), capture_output=True, text=True,
+                            timeout=420)
+    assert result.returncode == 0, result.stderr[-4000:]
+
+
+def _run_eval(out: str, ckpt: str, n_processes: int, timeout: int = 540):
+    """Run the eval CLI over toykp; multi-process adds --dp-eval."""
+    args = ['--dataset=toykp', '--checkpoint', ckpt, '--no-bf16',
+            '--toykp-n-images=8', '--toykp-image-size=81',
+            # relaxed gates + biased heads -> 6-8 poses per image
+            '--seed-threshold=0.1', '--instance-threshold=0.01',
+            '--keypoint-threshold=0.05',
+            '--write-predictions', '--output', out]
+    if n_processes == 1:
+        result = subprocess.run(
+            [sys.executable, '-m', 'openpifpaf_tpu.eval'] + args,
+            cwd=REPO_ROOT, env=base_env(4), capture_output=True, text=True,
+            timeout=timeout)
+        assert result.returncode == 0, result.stderr[-4000:]
+        return
+    port = free_port()
+    procs = []
+    for pid in range(n_processes):
+        env = base_env(4 // n_processes)
+        env['JAX_COORDINATOR'] = f'localhost:{port}'
+        env['JAX_NUM_PROCESSES'] = str(n_processes)
+        env['JAX_PROCESS_ID'] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, '-m', 'openpifpaf_tpu.eval', '--dp-eval']
+            + args,
+            cwd=REPO_ROOT, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-4000:]
+
+
+@pytest.mark.slow
+def test_two_process_eval_stats_match_single(tmp_path):
+    """Multi-process --dp-eval (VERDICT r4 Weak #4): eval sharded over a
+    2-process global mesh — forward + decode partitioned on the data
+    axis, pose tensors all_gathered, rank 0 writes stats — must produce
+    the same metric stats as the plain single-process eval."""
+    import json
+
+    ckpt = str(tmp_path / 'eval_ckpt.npz')
+    _make_eval_checkpoint(ckpt)
+    single = str(tmp_path / 'eval_single')
+    multi = str(tmp_path / 'eval_multi')
+    _run_eval(single, ckpt, 1)
+    _run_eval(multi, ckpt, 2)
+
+    with open(single + '.stats.json') as f:
+        a = json.load(f)
+    with open(multi + '.stats.json') as f:
+        b = json.load(f)
+    assert not os.path.exists(multi + '.stats.json.1')  # rank-0-only write
+    assert a['n_images'] == b['n_images'] == 8
+    assert a['text_labels'] == b['text_labels']
+    np.testing.assert_allclose(a['stats'], b['stats'], atol=1e-9)
+
+    # non-vacuity + exactness: the written predictions (the all_gathered
+    # pose tensors, host-extracted on rank 0) must be identical and
+    # non-empty — garbage poses never OKS-match GT, so AP alone cannot
+    # distinguish a broken gather from an empty one
+    with open(single + '.pred.json') as f:
+        pa = json.load(f)
+    with open(multi + '.pred.json') as f:
+        pb = json.load(f)
+    assert len(pa) >= 8  # biased heads -> several poses per image
+    assert pa == pb
+
+
 @pytest.mark.slow
 def test_two_process_decode_bit_matches_single(tmp_path):
     """Decode parity across real process boundaries (VERDICT r3 #8): the
