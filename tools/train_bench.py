@@ -155,14 +155,15 @@ def encoder_throughput(model):
     return n / (time.perf_counter() - start)
 
 
-def bench_model(basenet: str, fused: bool = False):
+def bench_model(basenet: str, fused: bool = False, remat: str = 'none'):
     import jax
     import jax.numpy as jnp
     import optax
 
     from openpifpaf_tpu.training.optimize import OptimizeFactory
 
-    label = f'{basenet}{"+fused" if fused else ""}'
+    label = f'{basenet}{"+fused" if fused else ""}' \
+        + (f'+remat:{remat}' if remat != 'none' else '')
     log(f'{label}: building...')
     model, loss_fn = build(basenet)
 
@@ -206,18 +207,30 @@ def bench_model(basenet: str, fused: bool = False):
     use_fused = (fused
                  and fused_shufflenet.supports_train(model, model.variables))
 
+    # remat policy sweep (VERDICT r4 #4): wrap the model apply in
+    # jax.checkpoint under the named policy; 'none' = store everything
+    policies = {
+        'none': None,
+        'dots': jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        'nothing': jax.checkpoint_policies.nothing_saveable,
+    }
+
+    def apply_train(variables, images):
+        if use_fused:
+            return fused_shufflenet.shell_apply_train(model, variables,
+                                                      images)
+        return model.apply(variables, images, train=True,
+                           mutable=['batch_stats'])
+
+    if remat != 'none':
+        apply_train = jax.checkpoint(apply_train, policy=policies[remat])
+
     def train_step(params, batch_stats, opt_state, images, targets):
         def loss_of(p):
             variables = {'params': p}
             if batch_stats:
                 variables['batch_stats'] = batch_stats
-                if use_fused:
-                    fields, mutated = fused_shufflenet.shell_apply_train(
-                        model, variables, images)
-                else:
-                    fields, mutated = model.apply(
-                        variables, images, train=True,
-                        mutable=['batch_stats'])
+                fields, mutated = apply_train(variables, images)
                 new_stats = mutated['batch_stats']
             else:
                 fields = model.apply(variables, images, train=True)
@@ -287,6 +300,7 @@ def bench_model(basenet: str, fused: bool = False):
     return {
         'basenet': basenet, 'train_plan': ('fused' if use_fused
                                            else 'baseline'),
+        'remat': remat,
         'batch': BATCH, 'image_hw': IMAGE_HW,
         'step_ms': round(step_s * 1e3, 2),
         'images_per_s': round(device_rate, 2),
@@ -306,17 +320,35 @@ def bench_model(basenet: str, fused: bool = False):
 
 
 def main():
+    import argparse
+
     import jax
 
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        '--models', nargs='+',
+        default=['shufflenetv2k16', 'shufflenetv2k16+fused', 'resnet50',
+                 'shufflenetv2k30', 'shufflenetv2k30+fused'],
+        help="specs like 'shufflenetv2k16+fused' or "
+             "'shufflenetv2k16+fused+remat:dots'")
+    parser.add_argument('--out', default=os.path.join(REPO,
+                                                      'TRAINBENCH.json'))
+    args = parser.parse_args()
+
     device = jax.devices()[0]
-    rows = [bench_model('shufflenetv2k16'),
-            bench_model('shufflenetv2k16', fused=True),
-            bench_model('resnet50')]
+    rows = []
+    for spec in args.models:
+        parts = spec.split('+')
+        basenet = parts[0]
+        fused = 'fused' in parts[1:]
+        remat = next((p.split(':', 1)[1] for p in parts[1:]
+                      if p.startswith('remat:')), 'none')
+        rows.append(bench_model(basenet, fused=fused, remat=remat))
     out = {'device': getattr(device, 'device_kind', device.platform),
            'protocol': 'scan-chained steps, params carried (anti-memo), '
                        'loss readback per call',
            'models': rows}
-    with open(os.path.join(REPO, 'TRAINBENCH.json'), 'w') as f:
+    with open(args.out, 'w') as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     return 0
