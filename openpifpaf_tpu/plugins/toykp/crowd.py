@@ -46,8 +46,8 @@ class ToyCrowdDataset(ToyKpDataset):
                                1.2 * scale, size - 1.2 * scale))
             cy = float(np.clip(cy + rng.normal(0, 1.6 * scale),
                                2.0 * scale, size - 2.0 * scale))
-            pose = constants.COCO_UPRIGHT_POSE
-            kp = np.zeros((17, 3), np.float32)
+            pose = np.asarray(self.POSE, np.float32)
+            kp = np.zeros((self.n_keypoints, 3), np.float32)
             kp[:, 0] = pose[:, 0] * scale / 3.0 + cx
             kp[:, 1] = (5.0 - pose[:, 1] / 2.0) * scale / 3.0 + cy
             kp[:, 2] = 2.0
@@ -74,7 +74,7 @@ class ToyCrowdDataset(ToyKpDataset):
         for kp in gt:          # back to front; later people overwrite
             layer = np.zeros((size, size, 3), np.float32)
             alpha = np.zeros((size, size), np.float32)
-            for f in range(17):
+            for f in range(self.n_keypoints):
                 x, y, _ = kp[f]   # occluded joints still belong to the
                 # figure: they are drawn, then covered by nearer figures
                 d2 = (xx - x) ** 2 + (yy - y) ** 2

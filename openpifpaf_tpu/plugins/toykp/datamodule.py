@@ -26,8 +26,13 @@ class ToyKpDataset(Dataset):
     """Renders 1-3 synthetic 'people' per image.
 
     Each keypoint type gets a unique (deterministic) color so a small
-    network can actually learn localization.
+    network can actually learn localization.  The keypoint family is a
+    class attribute so variants (toycrowd, toywb) can swap topology.
     """
+
+    KEYPOINTS = constants.COCO_KEYPOINTS
+    POSE = constants.COCO_UPRIGHT_POSE
+    BLOB_VAR = 4.0     # rendered blob sigma^2, px^2
 
     def __init__(self, n_images: int, image_size: int, preprocess,
                  seed: int = 0, with_targets: bool = True):
@@ -35,7 +40,8 @@ class ToyKpDataset(Dataset):
         self.image_size = image_size
         self.preprocess = preprocess
         self.seed = seed
-        k = len(constants.COCO_KEYPOINTS)
+        k = len(self.KEYPOINTS)
+        self.n_keypoints = k
         rng = np.random.default_rng(12345)
         self.colors = rng.integers(64, 255, (k, 3))
         # rendering is deterministic per index; cache across epochs
@@ -65,8 +71,8 @@ class ToyKpDataset(Dataset):
             else:
                 continue
             centers.append((cx, cy))
-            pose = constants.COCO_UPRIGHT_POSE
-            kp = np.zeros((17, 3), np.float32)
+            pose = np.asarray(self.POSE, np.float32)
+            kp = np.zeros((self.n_keypoints, 3), np.float32)
             kp[:, 0] = pose[:, 0] * scale / 3.0 + cx
             kp[:, 1] = (5.0 - pose[:, 1] / 2.0) * scale / 3.0 + cy
             kp[:, 2] = 2.0
@@ -79,10 +85,10 @@ class ToyKpDataset(Dataset):
         img = rng.integers(0, 60, (size, size, 3)).astype(np.float32)
         yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
         for kp in gt:
-            for f in range(17):
+            for f in range(self.n_keypoints):
                 x, y, _ = kp[f]
                 d2 = (xx - x) ** 2 + (yy - y) ** 2
-                blob = np.exp(-0.5 * d2 / 4.0)
+                blob = np.exp(-0.5 * d2 / self.BLOB_VAR)
                 img += blob[:, :, None] * self.colors[f][None, None, :]
         return PIL.Image.fromarray(
             np.clip(img, 0, 255).astype(np.uint8), 'RGB')
