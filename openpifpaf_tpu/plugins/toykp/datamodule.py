@@ -122,6 +122,7 @@ class ToyKp(DataModule):
     n_val_images = 8
     image_size = 161
     augmentation = True
+    with_dense = False    # add the caf25-style dense head (cocokp parity)
     dataset_cls = ToyKpDataset    # overridden by the crowd variant
 
     def __init__(self):
@@ -137,6 +138,18 @@ class ToyKp(DataModule):
                            pose=constants.COCO_UPRIGHT_POSE,
                            skeleton=constants.COCO_PERSON_SKELETON)
         self.head_metas = [cif, caf]
+        if self.with_dense:
+            # trained-drift coverage for --dense-connections (VERDICT r4
+            # #6); same construction as cocokp's caf25 head
+            caf25 = headmeta.Caf(
+                'caf25', 'toykp',
+                keypoints=constants.COCO_KEYPOINTS,
+                sigmas=constants.COCO_PERSON_SIGMAS,
+                pose=constants.COCO_UPRIGHT_POSE,
+                skeleton=constants.DENSER_COCO_PERSON_CONNECTIONS,
+                sparse_skeleton=constants.COCO_PERSON_SKELETON,
+                only_in_field_of_view=True)
+            self.head_metas.append(caf25)
 
     @classmethod
     def cli(cls, parser: argparse.ArgumentParser) -> None:
@@ -146,12 +159,16 @@ class ToyKp(DataModule):
                            type=int)
         group.add_argument('--toykp-no-augmentation', dest='toykp_augmentation',
                            default=cls.augmentation, action='store_false')
+        group.add_argument('--toykp-with-dense', dest='toykp_with_dense',
+                           default=cls.with_dense, action='store_true',
+                           help='add the caf25-style dense head')
 
     @classmethod
     def configure(cls, args: argparse.Namespace) -> None:
         cls.n_images = args.toykp_n_images
         cls.image_size = args.toykp_image_size
         cls.augmentation = args.toykp_augmentation
+        cls.with_dense = args.toykp_with_dense
 
     def _normalize(self):
         return transforms.NormalizeAnnotations(

@@ -30,15 +30,22 @@ jax.config.update('jax_platforms', 'cpu')
 import numpy as np  # noqa: E402
 
 
-def decode_paths(model, cif_f, caf_f):
-    """One image's fields -> (parallel anns, oracle anns)."""
+def decode_paths(model, fields_i):
+    """One image's field list -> (parallel anns, oracle anns).
+
+    Decode modes (``--force-complete`` / ``--dense``) are honored through
+    the CifCaf class config exactly as the CLI sets them: the decoder is
+    built via ``CifCaf.factory`` so a caf25 dense head concatenates into
+    the decode skeleton (``decoder/cifcaf.py:~53``)."""
     import jax.numpy as jnp
 
     from openpifpaf_tpu.decoder.cifcaf import CifCaf
     from openpifpaf_tpu.ops import growth, pipeline, sequential_oracle
 
-    cif_meta, caf_meta = model.head_metas[0], model.head_metas[1]
-    dec = CifCaf(cif_meta, caf_meta)
+    dec = CifCaf.factory(model.head_metas)[0]
+    cif_meta, caf_meta = dec.cif_meta, dec.caf_meta
+    cif_f = fields_i[cif_meta.head_index]
+    caf_f = dec._caf_field(fields_i, axis=0)
     h, w = cif_f.shape[-2:]
     stride = cif_meta.stride
     image_hw = ((h - 1) * stride + 1, (w - 1) * stride + 1)
@@ -92,9 +99,8 @@ def decode_paths(model, cif_f, caf_f):
             extract(oo_out, oo_scores, oo_valid), counters)
 
 
-def ap_of(per_image, metric_factory, loader_batches):
+def ap_of(per_image, metric_factory, loader_batches, cif_meta):
     from openpifpaf_tpu.annotation import Annotation
-    from openpifpaf_tpu.plugins.coco import constants
 
     metric = metric_factory()
     idx = 0
@@ -102,11 +108,10 @@ def ap_of(per_image, metric_factory, loader_batches):
         for gt, meta in zip(anns_gt, metas):
             anns = []
             for xyv, score in per_image[idx]:
-                ann = Annotation(constants.COCO_KEYPOINTS,
-                                 constants.COCO_PERSON_SKELETON,
-                                 sigmas=constants.COCO_PERSON_SIGMAS,
-                                 score_weights=(
-                                     constants.COCO_PERSON_SCORE_WEIGHTS))
+                ann = Annotation(cif_meta.keypoints,
+                                 cif_meta.draw_skeleton or [],
+                                 sigmas=cif_meta.sigmas,
+                                 score_weights=cif_meta.score_weights)
                 ann.data[:] = xyv
                 ann.joint_scales[:] = 4.0
                 ann.fixed_score = score
@@ -125,13 +130,25 @@ def main():
                              'overlapping-crowd regime, VERDICT r3 #2)')
     parser.add_argument('--n-images', type=int, default=None,
                         help='override the eval-set size')
+    parser.add_argument('--force-complete', action='store_true',
+                        help='decode with --force-complete-pose semantics '
+                             '(relaxed second growth pass, VERDICT r4 #6)')
+    parser.add_argument('--dense', type=float, default=None,
+                        help='decode with --dense-connections at this '
+                             'confidence scale (requires a caf25 head in '
+                             'the checkpoint)')
     args = parser.parse_args()
 
     from drift_harness import scene_agreement
 
     from openpifpaf_tpu import datasets, models, plugin
+    from openpifpaf_tpu.decoder.cifcaf import CifCaf
 
     plugin.register()
+    if args.force_complete:
+        CifCaf.force_complete = True
+    if args.dense is not None:
+        CifCaf.dense_connections = args.dense
     factory = models.Factory(checkpoint=args.checkpoint, bf16=False)
     model = factory.factory()
     if args.n_images is not None:
@@ -148,12 +165,11 @@ def main():
     for images, anns_gt, metas in loader:
         images = np.stack([np.asarray(x) for x in images])
         fields = forward(model.variables, images)
-        cif_f = np.asarray(fields[0], np.float32)
-        caf_f = np.asarray(fields[1], np.float32)
+        fields = [np.asarray(f, np.float32) for f in fields]
         batches.append((images, anns_gt, metas))
         for i in range(images.shape[0]):
             parallel, oracle, counters = decode_paths(
-                model, cif_f[i], caf_f[i])
+                model, [f[i] for f in fields])
             par_all.append(parallel)
             ora_all.append(oracle)
             counter_sums.append(counters)
@@ -164,8 +180,10 @@ def main():
     n_m = sum(m['n_matched'] for m in per_scene)
     finite = [m['mean_oks'] for m in per_scene if np.isfinite(m['mean_oks'])]
 
-    ap_parallel = ap_of(par_all, lambda: datamodule.metrics()[0], batches)
-    ap_oracle = ap_of(ora_all, lambda: datamodule.metrics()[0], batches)
+    ap_parallel = ap_of(par_all, lambda: datamodule.metrics()[0], batches,
+                        model.head_metas[0])
+    ap_oracle = ap_of(ora_all, lambda: datamodule.metrics()[0], batches,
+                      model.head_metas[0])
 
     out = {
         'checkpoint': os.path.basename(args.checkpoint),
@@ -181,6 +199,8 @@ def main():
         'n_dropped_caf': sum(c['n_dropped_caf'] for c in counter_sums),
         'n_dropped_cif': sum(c['n_dropped_cif'] for c in counter_sums),
         'dataset': args.dataset,
+        'force_complete': bool(args.force_complete),
+        'dense_connections': args.dense,
     }
     print(json.dumps(out))
     return 0
