@@ -137,3 +137,68 @@ def test_oracle_occupancy_suppresses_duplicate_seeds():
         sds, cands, skeleton, n_keypoints=17, image_hw=(321, 321),
         config=growth.GrowthConfig())
     assert len(oracle) == 1
+
+
+class TestWaveRecycledBudget:
+    """r5 ``growth.grow_waves``: claimed seeds must never consume
+    ``max_poses`` budget (the reference's ``cifcaf.cpp:~140`` semantics).
+
+    Scene: 6 separated figures produce ~100 seeds (one per visible
+    keypoint field).  With ``max_poses=8`` the single-wave path spends
+    its 8 slots on the strongest raw seeds (several per figure — the
+    radius dedup only merges same-field neighbors) and the claim fixpoint
+    kills the duplicates, leaving FEWER than 6 poses; the wave loop
+    refills freed slots and must recover every figure the oracle finds.
+    """
+
+    def scene(self):
+        figs = [synthetic_pose(offset_px=(dx, dy), scale=12.0)
+                for dx, dy in ((-120, -60), (0, -60), (120, -60),
+                               (-120, 80), (0, 80), (120, 80))]
+        cif, caf = build_fields(figs)
+        return intermediates(np.asarray(cif), np.asarray(caf), (321, 321))
+
+    def test_waves_match_oracle_under_budget_pressure(self):
+        import jax.numpy as jnp
+
+        sds, cands, skeleton = self.scene()
+        config = growth.GrowthConfig(max_poses=8)
+        nms_config = nms.NMSConfig()
+        edges = growth.directed_edges(skeleton)
+
+        o_list = sequential_oracle.decode_sequential(
+            sds, cands, skeleton, n_keypoints=17, image_hw=(321, 321),
+            config=config)
+        n_o = len(o_list)
+        # all 6 figures found (plus possibly partial-duplicate poses from
+        # seeds the grown poses' occupancy does not cover)
+        assert 6 <= n_o <= 8
+
+        poses, placed, alive, n_dropped, _, _ = growth.grow_waves(
+            sds, cands, edges, n_keypoints=17, image_hw=(321, 321),
+            config=config, nms_config=nms_config)
+        assert int(np.asarray(alive).sum()) == n_o
+
+        # same figures: every oracle pose OKS-matched by an alive wave pose
+        alive_np = np.asarray(alive)
+        got = np.asarray(poses)[alive_np]
+        for o_pose in o_list:
+            o_xy = o_pose[o_pose[:, 2] > 0, :2]
+            dists = [
+                float(np.abs(g[o_pose[:, 2] > 0, :2] - o_xy).max())
+                for g in got]
+            assert min(dists) < 1.0, 'oracle figure missing from wave decode'
+
+    def test_single_wave_underfills(self):
+        """Documents WHY the wave loop exists: one wave at the same
+        budget recovers fewer poses (slots wasted on claimed seeds)."""
+        sds, cands, skeleton = self.scene()
+        config = growth.GrowthConfig(max_poses=8, max_waves=1)
+        edges = growth.directed_edges(skeleton)
+        o_list = sequential_oracle.decode_sequential(
+            sds, cands, skeleton, n_keypoints=17, image_hw=(321, 321),
+            config=growth.GrowthConfig(max_poses=8))
+        _, _, alive, _, _, _ = growth.grow_waves(
+            sds, cands, edges, n_keypoints=17, image_hw=(321, 321),
+            config=config, nms_config=nms.NMSConfig())
+        assert int(np.asarray(alive).sum()) < len(o_list)
