@@ -110,8 +110,8 @@ def main():
             'decoders consume the identical\njitted front-end '
             '(`ops.pipeline.decode_front_end`) and identical finalize\n'
             '(`ops.pipeline.finalize_poses`); every deviation below is '
-            'growth *scheduling*\n(parallel frontier + seed dedup + exact '
-            'seed-claim suppression vs the reference\'s\nsequential seed '
+            'growth *scheduling*\n(r5 wave-recycled parallel frontier + '
+            'exact seed-claim fixpoint vs the reference\'s\nsequential seed '
             'loop + occupancy grid, `cifcaf.cpp:~140`). Poses matched by\n'
             'OKS >= 0.5 greedily in oracle score order.\n\n')
         f.write(f'- spec: {spec.name} ({spec.n_keypoints} kp, '
@@ -121,14 +121,13 @@ def main():
                 f'max_poses: {max_poses}, max_seeds: {max_seeds}\n')
         if args.noise:
             f.write(f'- noise spec: {noise}\n')
-            f.write('- budget note: under noise, duplicate seeds occupy '
-                    'parallel pose slots before seed-claim suppression '
-                    'kills them, while the sequential oracle skips '
-                    'occupied seeds up front — residual disagreement is '
-                    'slot exhaustion (production counter: '
-                    '`n_dropped_poses`), not scheduling; measured 55-pose '
-                    'noisy scenes: F1 0.960 at max_poses=128 -> 0.996 at '
-                    '256.\n')
+            f.write('- budget note: since r5 the wave-recycled growth '
+                    '(`growth.grow_waves`) gives claimed seeds the '
+                    "reference's budget semantics — they never consume "
+                    'pose slots — so the r4 slot-exhaustion residual is '
+                    'gone (r4: F1 0.9990 at these budgets; r5: 1.0000).  '
+                    'Genuine overflow still reports via '
+                    '`n_dropped_poses`.\n')
         f.write(f'- generated: seed 20260819, densities uniform up to '
                 f'{max_density}\n\n')
         f.write('| density | scenes | oracle poses | parallel poses | '
