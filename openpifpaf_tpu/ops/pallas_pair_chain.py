@@ -83,19 +83,27 @@ def block_params(p, s) -> BlockParams:
         s2=jnp.asarray(s2), o2=jnp.asarray(o2))
 
 
+# lane-dim chunk for the depthwise conv inside the kernel: the 25
+# shifted reads each materialize a VMEM copy (Mosaic does not fuse
+# sublane-offset shifts), so chunks keep peak live VMEM ~25 * chunk
+# bytes (measured: the unchunked version compiles to 48x48x256 and OOMs
+# the compile at 48x48x512)
+_DW_CHUNK = 256
+
+
 def _chain_math(a, b, blocks: List[BlockParams], dtype,
-                row0=None, img_h: int = None):
+                row0=None, img_h: int = None, img_w: int = None):
     """The shared chain body: runs unchanged inside the pallas kernel (on
     a VMEM-resident band) and as the XLA reference (on the full image).
 
     a, b: (R, W, C) channels-last.  Returns the output pair.
 
-    ``row0``/``img_h``: first tile row's image-row index and the image
-    height — rows outside the image must be zeroed in ``t`` before every
-    depthwise conv (conv SAME pads ``t`` with zeros, but a zero INPUT row
-    does not give a zero ``t`` row: the folded BN bias makes
-    ``t = relu(o1)`` there).  ``None`` = every row valid (the whole-image
-    reference path).
+    ``row0``/``img_h``/``img_w``: first tile row's image-row index and the
+    image height/width — rows below/right of the image (band halo, W
+    sublane padding) must be zeroed in ``t`` before every depthwise conv
+    (conv SAME pads ``t`` with zeros, but a zero INPUT row does not give a
+    zero ``t`` row: the folded BN bias makes ``t = relu(o1)`` there).
+    ``None`` = every position valid (the whole-image reference path).
     """
     r, w, c = a.shape
     q = c // 2
@@ -107,12 +115,19 @@ def _chain_math(a, b, blocks: List[BlockParams], dtype,
     po = (cols == 2 * rows + 1).astype(dtype)
 
     def mat(x, wt):
-        y = x.reshape(r * w, x.shape[-1]) @ wt.astype(dtype)
-        return y.reshape(r, w, wt.shape[-1])
+        # f32 accumulation: the MXU accumulator is 32-bit (Mosaic rejects
+        # a bf16 acc), and XLA's bf16 dots accumulate f32 too
+        y = jnp.dot(x.reshape(r * w, x.shape[-1]), wt.astype(dtype),
+                    preferred_element_type=jnp.float32)
+        return y.astype(dtype).reshape(r, w, wt.shape[-1])
 
     if row0 is not None:
-        img_rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0) + row0
-        rmask = ((img_rows >= 0) & (img_rows < img_h)).astype(dtype)
+        img_rows = jax.lax.broadcasted_iota(jnp.int32, (r, w, 1), 0) + row0
+        mask = (img_rows >= 0) & (img_rows < img_h)
+        if img_w is not None and img_w < w:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (r, w, 1), 1)
+            mask = mask & (cols < img_w)
+        rmask = mask.astype(dtype)
     else:
         rmask = None
 
@@ -121,13 +136,21 @@ def _chain_math(a, b, blocks: List[BlockParams], dtype,
         t = jnp.maximum(t * blk.s1.astype(dtype) + blk.o1.astype(dtype), 0)
         if rmask is not None:
             t = t * rmask
-        # 5x5 depthwise: 25 shifted multiply-accumulates (VPU)
-        tp = jnp.pad(t, ((2, 2), (2, 2), (0, 0)))
-        u = jnp.zeros_like(t)
-        for dy in range(5):
-            for dx in range(5):
-                u = u + (tp[dy:dy + r, dx:dx + w]
-                         * blk.dwk[dy, dx].astype(dtype))
+        # 5x5 depthwise: 25 shifted multiply-accumulates (VPU),
+        # lane-chunked to bound peak VMEM (see _DW_CHUNK note)
+        u_chunks = []
+        for c0 in range(0, c, _DW_CHUNK):
+            tc = t[:, :, c0:c0 + _DW_CHUNK]
+            tp = jnp.pad(tc, ((2, 2), (2, 2), (0, 0)))
+            uc = jnp.zeros_like(tc)
+            for dy in range(5):
+                for dx in range(5):
+                    uc = uc + (tp[dy:dy + r, dx:dx + w]
+                               * blk.dwk[dy, dx,
+                                         c0:c0 + _DW_CHUNK].astype(dtype))
+            u_chunks.append(uc)
+        u = (u_chunks[0] if len(u_chunks) == 1
+             else jnp.concatenate(u_chunks, axis=-1))
         u = u * blk.sdw.astype(dtype) + blk.odw.astype(dtype)
         v = jnp.maximum(mat(u, blk.w2) * blk.s2.astype(dtype)
                         + blk.o2.astype(dtype), 0)
@@ -176,13 +199,18 @@ def pair_chain_pallas(a, b, blocks: List[BlockParams], *,
     halo = 2 * n_blocks
     band = -(-h // n_bands)
     h_pad = band * n_bands
+    # W padded to the sublane tile: Mosaic crashes on the (R*W, C)
+    # reshape when W is not a multiple of 8 (measured; the padding
+    # columns are masked out of `t` like the row halo)
+    w8 = -(-w // 8) * 8
 
     a = a.astype(dtype)
     b = b.astype(dtype)
 
     def to_tiles(x):
-        # (B, H, W, C) -> (B, n_bands, band + 2*halo, W, C), zero-padded
-        xp = jnp.pad(x, ((0, 0), (halo, halo + h_pad - h), (0, 0), (0, 0)))
+        # (B, H, W, C) -> (B, n_bands, band + 2*halo, W8, C), zero-padded
+        xp = jnp.pad(x, ((0, 0), (halo, halo + h_pad - h),
+                         (0, w8 - w), (0, 0)))
         return jnp.stack(
             [xp[:, j * band:j * band + band + 2 * halo] for j in
              range(n_bands)], axis=1)
@@ -200,15 +228,15 @@ def pair_chain_pallas(a, b, blocks: List[BlockParams], *,
         blks = _unflatten_blocks(blk_refs, n_blocks)
         row0 = pl.program_id(1) * band - halo
         aa, bb = _chain_math(a_ref[0, 0], b_ref[0, 0], blks, dtype,
-                             row0=row0, img_h=h)
+                             row0=row0, img_h=h, img_w=w)
         out_a_ref[0, 0] = aa[halo:halo + band]
         out_b_ref[0, 0] = bb[halo:halo + band]
 
     tile_spec = pl.BlockSpec(
-        (1, 1, tile_rows, w, c), lambda i, j: (i, j, 0, 0, 0),
+        (1, 1, tile_rows, w8, c), lambda i, j: (i, j, 0, 0, 0),
         memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
-        (1, 1, band, w, c), lambda i, j: (i, j, 0, 0, 0),
+        (1, 1, band, w8, c), lambda i, j: (i, j, 0, 0, 0),
         memory_space=pltpu.VMEM)
 
     def full_spec(arr):
@@ -222,12 +250,12 @@ def pair_chain_pallas(a, b, blocks: List[BlockParams], *,
         grid=(bsz, n_bands),
         in_specs=[tile_spec, tile_spec] + [full_spec(x) for x in flat],
         out_specs=[out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((bsz, n_bands, band, w, c), dtype)
+        out_shape=[jax.ShapeDtypeStruct((bsz, n_bands, band, w8, c), dtype)
                    for _ in range(2)],
         interpret=interpret,
     )(a_t, b_t, *flat)
 
     def from_tiles(x):
-        return x.reshape(bsz, n_bands * band, w, c)[:, :h]
+        return x.reshape(bsz, n_bands * band, w8, c)[:, :h, :w]
 
     return from_tiles(out[0]), from_tiles(out[1])

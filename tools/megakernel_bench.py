@@ -11,6 +11,7 @@ median of N_CALLS; TPU-tunnel numbers are relative indicators.
 Run ON TPU from the repo root:  python tools/megakernel_bench.py
 """
 
+import argparse
 import json
 import os
 import statistics
@@ -58,6 +59,17 @@ def scan_chain_time(fn, a, b):
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--stages', nargs='+',
+                        default=[s[0] for s in STAGES])
+    parser.add_argument('--out', default='/tmp/megakernel.json')
+    parser.add_argument('--skip-xla', action='store_true',
+                        help='skip the XLA chain timings (use when the '
+                             'tunnel compile server wedges on them; the '
+                             'pallas parity reference still compiles as '
+                             'a single jitted call)')
+    args = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +78,7 @@ def main():
     from openpifpaf_tpu.ops import pallas_pair_chain as ppc
     from openpifpaf_tpu.plugins.coco import constants
 
-    print('devices:', jax.devices(), file=sys.stderr)
+    print('devices:', jax.devices(), file=sys.stderr, flush=True)
 
     cif = headmeta.Cif('cif', 'cocokp', keypoints=constants.COCO_KEYPOINTS,
                        sigmas=constants.COCO_PERSON_SIGMAS)
@@ -97,10 +109,12 @@ def main():
     tiny = jnp.zeros((4, 128), jnp.float32)
     floor = scan_chain_time(
         lambda x, y: (x * 1.000001, y * 1.000001), tiny, tiny)
-    print(f'noop floor: {floor * 1e3:.3f} ms/call', file=sys.stderr)
+    print(f'noop floor: {floor * 1e3:.3f} ms/call', file=sys.stderr, flush=True)
 
     results = {'floor_ms': floor * 1e3}
     for name, hw, half, stage_i, block_ids in STAGES:
+        if name not in args.stages:
+            continue
         p = variables['params']['basenet']
         s = variables['batch_stats']['basenet']
         blocks = [ppc.block_params(p[f'stage{stage_i}_{i}'],
@@ -120,14 +134,16 @@ def main():
                     jnp.bfloat16)
             return pair
 
-        t_xla = scan_chain_time(xla_plan, a, b)
-
         # folded-BN XLA reference (isolates the BN-fold advantage)
         def xla_folded(aa, bb, _blocks=blocks):
             return ppc.pair_chain_reference(aa, bb, _blocks,
                                             dtype=jnp.bfloat16)
 
-        t_folded = scan_chain_time(xla_folded, a, b)
+        if args.skip_xla:
+            t_xla = t_folded = float('nan')
+        else:
+            t_xla = scan_chain_time(xla_plan, a, b)
+            t_folded = scan_chain_time(xla_folded, a, b)
 
         entry = {
             'hw': hw, 'half': half, 'n_blocks': len(block_ids),
@@ -161,17 +177,17 @@ def main():
                 print(f'{name} bands={n_bands}: '
                       f'{(t_pallas - floor) * 1e3 / B:.3f} ms/img '
                       f'(xla plan {(t_xla - floor) * 1e3 / B:.3f}) '
-                      f'err={err:.2e}', file=sys.stderr)
+                      f'err={err:.2e}', file=sys.stderr, flush=True)
             except Exception as exc:  # VMEM OOM etc: record and move on
                 entry['pallas'][n_bands] = {
                     'error': f'{type(exc).__name__}: {str(exc)[:300]}',
                     'vmem_est_mb_tiles': vmem_est}
                 print(f'{name} bands={n_bands}: FAILED '
                       f'{type(exc).__name__} (tiles ~{vmem_est:.1f} MB)',
-                      file=sys.stderr)
+                      file=sys.stderr, flush=True)
         results[name] = entry
 
-    out_path = sys.argv[1] if len(sys.argv) > 1 else '/tmp/megakernel.json'
+    out_path = args.out
     with open(out_path, 'w') as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
