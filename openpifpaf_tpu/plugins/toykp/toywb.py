@@ -72,13 +72,43 @@ class ToyWbDataset(ToyKpDataset):
     POSE = TOYWB_POSE
     BLOB_VAR = 2.0    # tighter blobs: 133 points must stay resolvable
 
+    # pose-unit bounds of TOYWB_POSE (x: hand fans, y: feet..face grid)
+    Y_MAX = 14.1
+    Y_SPAN = 15.0
+
+    def ground_truth(self, index: int):
+        """One full-frame figure, NO y-compression.
+
+        The ToyKp mapping (``kp_y = (5 - pose_y/2) * scale/3``) squeezes
+        the 15-unit wholebody spread pose into 2-4 px/unit at any usable
+        image size, so the 0.5-unit face-grid spacing lands 1-3 px apart —
+        sub-resolution at stride 16 by construction, and the fields were
+        unlearnable (round-5 finding: 300-epoch confidences plateaued at
+        ~0.4 and instance scores never crossed the default threshold).
+        Here one figure fills ~88%% of the frame at ~size/17 px per pose
+        unit: face rows are ~0.5 * size/17 px apart (9+ px at the 321
+        default) — resolvable blobs, learnable CIF/CAF targets, and the
+        decode topology (133 fields / 129 directed edges / deep face+hand
+        chains) is exactly preserved."""
+        rng = np.random.default_rng(self.seed + index)
+        size = self.image_size
+        ppu = rng.uniform(size / 20.0, size / 17.0)
+        cx = size / 2.0 + rng.uniform(-0.05, 0.05) * size
+        top = rng.uniform(0.02, 0.08) * size
+        pose = np.asarray(self.POSE, np.float32)
+        kp = np.zeros((self.n_keypoints, 3), np.float32)
+        kp[:, 0] = pose[:, 0] * ppu + cx
+        kp[:, 1] = (self.Y_MAX - pose[:, 1]) * ppu + top
+        kp[:, 2] = 2.0
+        return [kp]
+
 
 class ToyWb(ToyKp):
     """Datamodule: wholebody-topology head metas over the toy renderer."""
 
     n_images = 32
     n_val_images = 8
-    image_size = 193
+    image_size = 321
     augmentation = True
     dataset_cls = ToyWbDataset
 

@@ -137,6 +137,13 @@ def main():
                         help='decode with --dense-connections at this '
                              'confidence scale (requires a caf25 head in '
                              'the checkpoint)')
+    parser.add_argument('--instance-threshold', type=float, default=None,
+                        help='override CifCaf.instance_threshold (same '
+                             'knob as the predict/eval CLI)')
+    parser.add_argument('--seed-threshold', type=float, default=None,
+                        help='override CifCaf.seed_threshold')
+    parser.add_argument('--keypoint-threshold', type=float, default=None,
+                        help='override CifCaf.keypoint_threshold')
     args = parser.parse_args()
 
     from drift_harness import scene_agreement
@@ -149,6 +156,12 @@ def main():
         CifCaf.force_complete = True
     if args.dense is not None:
         CifCaf.dense_connections = args.dense
+    if args.instance_threshold is not None:
+        CifCaf.instance_threshold = args.instance_threshold
+    if args.seed_threshold is not None:
+        CifCaf.seed_threshold = args.seed_threshold
+    if args.keypoint_threshold is not None:
+        CifCaf.keypoint_threshold = args.keypoint_threshold
     factory = models.Factory(checkpoint=args.checkpoint, bf16=False)
     model = factory.factory()
     if args.n_images is not None:
@@ -173,7 +186,9 @@ def main():
             par_all.append(parallel)
             ora_all.append(oracle)
             counter_sums.append(counters)
-            per_scene.append(scene_agreement(parallel, oracle))
+            per_scene.append(scene_agreement(
+                parallel, oracle,
+                sigmas=np.asarray(model.head_metas[0].sigmas, np.float32)))
 
     n_o = sum(m['n_oracle'] for m in per_scene)
     n_p = sum(m['n_parallel'] for m in per_scene)
@@ -201,6 +216,9 @@ def main():
         'dataset': args.dataset,
         'force_complete': bool(args.force_complete),
         'dense_connections': args.dense,
+        'instance_threshold': CifCaf.instance_threshold,
+        'seed_threshold': CifCaf.seed_threshold,
+        'keypoint_threshold': CifCaf.keypoint_threshold,
     }
     print(json.dumps(out))
     return 0
