@@ -194,6 +194,19 @@ def test_toywb_133kp_end_to_end():
     assert d.min() > 0.4, 'spread layout collapsed — blobs unresolvable'
     assert ToyWbDataset.KEYPOINTS[17].endswith('big_toe')
 
+    # pixel-space resolvability at the default 321px (r5 mapping fix:
+    # the inherited y-compressed mapping put face rows 1-3 px apart and
+    # the fields were unlearnable — lock the full-frame mapping in)
+    ds = ToyWbDataset.__new__(ToyWbDataset)
+    ds.n_images, ds.image_size, ds.seed = 4, 321, 0
+    ds.n_keypoints = 133
+    for idx in range(4):
+        (kp,) = ds.ground_truth(idx)
+        dp = np.sqrt(((kp[:, None, :2] - kp[None, :, :2]) ** 2).sum(-1))
+        np.fill_diagonal(dp, 9e9)
+        assert dp.min() > 5.0, f'img {idx}: blobs {dp.min():.1f}px apart'
+        assert kp[:, :2].min() >= 0 and kp[:, :2].max() < 321
+
     dm = factory('toywb')
     type(dm).n_images = 4
     type(dm).image_size = 97
