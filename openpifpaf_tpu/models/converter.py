@@ -7,10 +7,10 @@ modules (``trainer.py:~300``); converting them is required for the
 reference package is importable; unpickling whole modules requires the
 reference code itself) and maps it onto this framework's parameter tree.
 
-Supported trunks: ShuffleNetV2K (k16/k30/k44), ResNet (50/101/152) and
-Swin (t/s/b, microsoft state-dict naming), plus CompositeField4 heads —
-the checkpointed model families of the reference zoo.  Tensor layout
-translation:
+Supported trunks: ShuffleNetV2K (k16/k30/k44), ResNet (50/101/152),
+Swin (t/s/b, microsoft state-dict naming) and XCiT (small_12/medium_24,
+facebookresearch naming), plus CompositeField4 heads — the checkpointed
+model families of the reference zoo.  Tensor layout translation:
 
 - conv kernels: torch OIHW -> flax HWIO
 - depthwise conv kernels: torch (C, 1, kh, kw) -> flax (kh, kw, 1, C)
@@ -183,10 +183,72 @@ def _translate_swin(key: str) -> Tuple[str, str]:
     raise KeyError(key)
 
 
+def _translate_xcit(key: str) -> Tuple[str, str]:
+    """facebookresearch-XCiT state-dict naming -> the flax
+    ``models/xcit.py`` tree.
+
+    Reference surface: ``src/openpifpaf/network/basenetworks.py:~750``
+    (the reference vendors the facebookresearch XCiT implementation in
+    ``network/xcit.py``; checkpoints use ``patch_embed.proj.0.0.weight``,
+    ``pos_embeder.token_projection.weight``, ``blocks.N.attn.qkv.weight``
+    etc.).  The classification tail (``cls_token``/``cls_attn_blocks``/
+    ``head``) has no dense-prediction counterpart and is skipped.  The
+    timm re-export of the same checkpoints renames ``pos_embeder`` to
+    ``pos_embed``; both spellings are accepted.
+    """
+    m = re.match(r'patch_embed\.proj\.([0246])\.([01])\.(\w+)$', key)
+    if m:
+        i = int(m.group(1)) // 2
+        if m.group(2) == '0':
+            if m.group(3) != 'weight':
+                raise KeyError(key)
+            return 'params', f'stem/conv{i}/kernel'
+        return _bn_leaf(f'stem/norm{i}', m.group(3))
+    m = re.match(r'pos_embed(?:er)?\.token_projection\.(weight|bias)$', key)
+    if m:
+        leaf = 'kernel' if m.group(1) == 'weight' else 'bias'
+        return 'params', f'pos_embed/token_projection/{leaf}'
+    m = re.match(r'norm\.(\w+)$', key)
+    if m:
+        return _ln_leaf('norm_out', m.group(1))
+    if re.match(r'(cls_token|cls_attn_blocks\.|head\.|head_dist\.)', key):
+        # classification-only modules: dropped for dense prediction
+        return 'skip', ''
+    m = re.match(r'blocks\.(\d+)\.(.*)$', key)
+    if m:
+        prefix = f'block{m.group(1)}'
+        rest = m.group(2)
+        mm = re.match(r'norm([123])\.(\w+)$', rest)
+        if mm:
+            return _ln_leaf(f'{prefix}/norm{mm.group(1)}', mm.group(2))
+        if rest == 'attn.temperature':
+            return 'params', f'{prefix}/xca/temperature'
+        mm = re.match(r'attn\.(qkv|proj)\.(weight|bias)$', rest)
+        if mm:
+            leaf = 'kernel' if mm.group(2) == 'weight' else 'bias'
+            return 'params', f'{prefix}/xca/{mm.group(1)}/{leaf}'
+        mm = re.match(r'gamma([123])$', rest)
+        if mm:
+            return 'params', f'{prefix}/gamma{mm.group(1)}'
+        mm = re.match(r'local_mp\.conv([12])\.(weight|bias)$', rest)
+        if mm:
+            leaf = 'kernel' if mm.group(2) == 'weight' else 'bias'
+            return 'params', f'{prefix}/lpi_conv{mm.group(1)}/{leaf}'
+        mm = re.match(r'local_mp\.bn\.(\w+)$', rest)
+        if mm:
+            return _bn_leaf(f'{prefix}/lpi_bn', mm.group(1))
+        mm = re.match(r'mlp\.fc([12])\.(weight|bias)$', rest)
+        if mm:
+            leaf = 'kernel' if mm.group(2) == 'weight' else 'bias'
+            return 'params', f'{prefix}/mlp_fc{mm.group(1)}/{leaf}'
+    raise KeyError(key)
+
+
 _BASENET_TRANSLATORS = {
     'shufflenetv2k': _translate_shufflenet,
     'resnet': _translate_resnet,
     'swin': _translate_swin,
+    'xcit': _translate_xcit,
 }
 
 
@@ -341,6 +403,27 @@ def _enumerate_torch_keys(flat, translate):
                     candidates.append(f'{base}.{mod}.{leaf}')
             candidates.append(f'{base}.attn.relative_position_bias_table')
     candidates.append('base_net.layers.2.proj.weight')
+
+    # xcit (facebookresearch naming)
+    for i in (0, 2, 4, 6):
+        candidates.append(f'base_net.patch_embed.proj.{i}.0.weight')
+        for leaf in ('weight', 'bias', 'running_mean', 'running_var'):
+            candidates.append(f'base_net.patch_embed.proj.{i}.1.{leaf}')
+    for leaf in ('weight', 'bias'):
+        candidates.append(f'base_net.pos_embeder.token_projection.{leaf}')
+    for block in range(36):
+        base = f'base_net.blocks.{block}'
+        candidates.append(f'{base}.attn.temperature')
+        for n in (1, 2, 3):
+            candidates.append(f'{base}.gamma{n}')
+            for leaf in ('weight', 'bias'):
+                candidates.append(f'{base}.norm{n}.{leaf}')
+        for mod in ('attn.qkv', 'attn.proj', 'local_mp.conv1',
+                    'local_mp.conv2', 'mlp.fc1', 'mlp.fc2'):
+            for leaf in ('weight', 'bias'):
+                candidates.append(f'{base}.{mod}.{leaf}')
+        for leaf in ('weight', 'bias', 'running_mean', 'running_var'):
+            candidates.append(f'{base}.local_mp.bn.{leaf}')
 
     out = []
     for cand in candidates:

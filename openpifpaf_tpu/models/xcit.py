@@ -1,26 +1,42 @@
 """XCiT backbones (cross-covariance attention).
 
 Reference parity: ``src/openpifpaf/network/basenetworks.py:~750`` (``XCiT``)
-— cross-covariance image transformer for dense prediction: a conv stem to
-stride 16, then alternating XCA (channel-attention) and LPI (local patch
-interaction conv) blocks at constant resolution.  No CLS token (dense
-features only).
+— the reference vendors the facebookresearch XCiT implementation
+(``src/openpifpaf/network/xcit.py``): a conv stem to stride 16, Fourier
+positional encoding, then alternating XCA (channel-attention), LPI (local
+patch interaction conv) and MLP sub-blocks at constant resolution, each
+scaled by a LayerScale ``gamma``.  The classification tail (CLS token +
+class-attention blocks) is dropped for dense prediction; checkpoints carry
+those tensors and the converter skips them (``models/converter.py``).
 
 TPU-first: XCA's attention matrix is (head_dim x head_dim) — independent of
 image size — so the quadratic cost of token attention disappears and every
-contraction is a dense MXU matmul.
+contraction is a dense MXU matmul.  The Fourier positional grid depends
+only on the static feature-map shape, so it is computed host-side at trace
+time and enters the program as a baked constant; only its 1x1 projection
+is traced (and therefore exported to ONNX as a plain conv).
+
+Upstream naming parity (for the checkpoint converter): norm slots follow
+the reference ordering — ``norm1`` gates XCA, ``norm3`` gates LPI and
+``norm2`` gates the MLP, matching ``blocks.N.norm{1,3,2}`` in reference
+state dicts.
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from .base import BaseNetworkSpec, NormFactory, register_basenet
 
 
 class ConvStem(nn.Module):
-    """Four 3x3 stride-2 convs -> total stride 16."""
+    """Four 3x3 stride-2 convs -> total stride 16.
+
+    Reference ``ConvPatchEmbed`` (``xcit.py:~90``): Conv/BN pairs at
+    ``patch_embed.proj.{0,2,4,6}`` with exact GELU between them.
+    """
 
     embed_dim: int
     norm: str = 'batchnorm'
@@ -39,6 +55,57 @@ class ConvStem(nn.Module):
             if i < len(dims) - 1:
                 x = nn.gelu(x, approximate=False)
         return x
+
+
+def _fourier_grid(h: int, w: int, hidden_dim: int,
+                  temperature: float) -> np.ndarray:
+    """(h, w, 2*hidden_dim) sin/cos positional grid, reference semantics.
+
+    Reference ``PositionalEncodingFourier`` (``xcit.py:~40``): normalized
+    cumulative row/col coordinates scaled to 2*pi, per-frequency division,
+    sin on even and cos on odd channels interleaved pairwise, y-features
+    concatenated before x-features.  Pure host-side numpy on the static
+    trace-time shape.
+    """
+    scale = 2.0 * np.pi
+    eps = 1e-6
+    y_embed = (np.arange(1, h + 1, dtype=np.float64) / (h + eps) * scale)
+    x_embed = (np.arange(1, w + 1, dtype=np.float64) / (w + eps) * scale)
+    dim_t = temperature ** (
+        2.0 * (np.arange(hidden_dim) // 2) / hidden_dim)
+
+    def interleave(embed):                      # (n,) -> (n, hidden_dim)
+        pos = embed[:, None] / dim_t
+        out = np.empty_like(pos)
+        out[:, 0::2] = np.sin(pos[:, 0::2])
+        out[:, 1::2] = np.cos(pos[:, 1::2])
+        return out
+
+    pos_y = np.broadcast_to(interleave(y_embed)[:, None, :],
+                            (h, w, hidden_dim))
+    pos_x = np.broadcast_to(interleave(x_embed)[None, :, :],
+                            (h, w, hidden_dim))
+    return np.concatenate([pos_y, pos_x], axis=-1).astype(np.float32)
+
+
+class PositionalEncodingFourier(nn.Module):
+    """Fourier positional features + learned 1x1 projection.
+
+    Reference ``xcit.py:~40`` (``pos_embeder.token_projection``).
+    """
+
+    dim: int
+    hidden_dim: int = 32
+    temperature: float = 10000.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: int, w: int) -> jnp.ndarray:
+        grid = _fourier_grid(h, w, self.hidden_dim, self.temperature)
+        pos = jnp.asarray(grid, dtype=self.dtype)[None]     # (1, h, w, 64)
+        return nn.Conv(self.dim, (1, 1), name='token_projection',
+                       use_bias=True, dtype=self.dtype,
+                       param_dtype=jnp.float32)(pos)
 
 
 class XCA(nn.Module):
@@ -60,8 +127,11 @@ class XCA(nn.Module):
         q, k, v = (qkv[:, :, i].transpose(0, 2, 3, 1) for i in range(3))
         # q, k, v: (B, heads, head_dim, N)
 
-        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6)
-        k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-6)
+        # F.normalize semantics (reference xcit.py:~150): clamp, not add
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
+                            1e-12)
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True),
+                            1e-12)
         temperature = self.param('temperature', nn.initializers.ones,
                                  (self.num_heads, 1, 1), jnp.float32)
         attn = jnp.einsum('bhdn,bhen->bhde', q, k,
@@ -74,6 +144,8 @@ class XCA(nn.Module):
 
 
 class XCiTBlock(nn.Module):
+    """XCA -> LPI -> MLP, each LayerScale-gated (reference ``XCABlock``)."""
+
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
@@ -84,32 +156,39 @@ class XCiTBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """x: (B, H, W, C) feature map."""
         b, h, w, c = x.shape
+        norm = NormFactory(self.norm)
         kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
         tokens = x.reshape(b, h * w, c)
 
-        # XCA
-        y = nn.LayerNorm(param_dtype=jnp.float32, name='norm1')(tokens)
-        tokens = tokens + XCA(self.dim, self.num_heads, self.dtype,
-                              name='xca')(y)
+        def gamma(name):
+            g = self.param(name, nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+            return g.astype(self.dtype)
 
-        # LPI: depthwise 3x3 conv interaction (needs the 2D layout)
-        y = nn.LayerNorm(param_dtype=jnp.float32, name='norm2')(tokens)
+        # XCA (reference slot norm1 / gamma1)
+        y = nn.LayerNorm(param_dtype=jnp.float32, name='norm1')(tokens)
+        y = XCA(self.dim, self.num_heads, self.dtype, name='xca')(y)
+        tokens = tokens + gamma('gamma1') * y
+
+        # LPI (reference slot norm3 / gamma3): dwconv -> gelu -> bn -> dwconv
+        y = nn.LayerNorm(param_dtype=jnp.float32, name='norm3')(tokens)
         y = y.reshape(b, h, w, c)
         y = nn.Conv(self.dim, (3, 3), padding=1,
                     feature_group_count=self.dim, name='lpi_conv1',
                     use_bias=True, **kw)(y)
         y = nn.gelu(y, approximate=False)
+        y = norm(self, 'lpi_bn', y, train)
         y = nn.Conv(self.dim, (3, 3), padding=1,
                     feature_group_count=self.dim, name='lpi_conv2',
                     use_bias=True, **kw)(y)
-        tokens = tokens + y.reshape(b, h * w, c)
+        tokens = tokens + gamma('gamma3') * y.reshape(b, h * w, c)
 
-        # MLP
-        y = nn.LayerNorm(param_dtype=jnp.float32, name='norm3')(tokens)
+        # MLP (reference slot norm2 / gamma2)
+        y = nn.LayerNorm(param_dtype=jnp.float32, name='norm2')(tokens)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name='mlp_fc1', **kw)(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name='mlp_fc2', **kw)(y)
-        tokens = tokens + y
+        tokens = tokens + gamma('gamma2') * y
         return tokens.reshape(b, h, w, c)
 
 
@@ -125,6 +204,10 @@ class XCiT(nn.Module):
         x = x.astype(self.dtype)
         x = ConvStem(self.embed_dim, self.norm, self.dtype,
                      name='stem')(x, train)
+        _, h, w, _ = x.shape
+        pos = PositionalEncodingFourier(self.embed_dim, dtype=self.dtype,
+                                        name='pos_embed')(h, w)
+        x = x + pos.astype(x.dtype)
         for i in range(self.depth):
             x = XCiTBlock(self.embed_dim, self.num_heads, norm=self.norm,
                           dtype=self.dtype, name=f'block{i}')(x, train)

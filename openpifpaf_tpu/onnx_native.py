@@ -1267,9 +1267,14 @@ def _emit_hrformer(g: GraphBuilder, basenet, params, stats, input_hw):
 
 
 def _emit_xcit(g: GraphBuilder, basenet, params, stats, input_hw):
-    """XCiT trunk (``models/xcit.py``): conv stem to stride 16, then XCA
-    (channel cross-covariance attention) + LPI + MLP blocks.  The XCA
-    attention matrix is (head_dim, head_dim) — image-size independent."""
+    """XCiT trunk (``models/xcit.py``): conv stem to stride 16, Fourier
+    positional encoding, then XCA (channel cross-covariance attention) +
+    LPI + MLP blocks, each LayerScale-gated.  The XCA attention matrix is
+    (head_dim, head_dim) — image-size independent.  The positional map
+    depends only on the static export shape, so grid, projection and bias
+    are folded into one baked initializer."""
+    from .models.xcit import _fourier_grid
+
     dim = basenet.embed_dim
     heads = basenet.num_heads
     hd = dim // heads
@@ -1303,8 +1308,9 @@ def _emit_xcit(g: GraphBuilder, basenet, params, stats, input_hw):
             return g.transpose(t, (0, 2, 3, 1))           # (1, heads, hd, n)
 
         def l2norm(t):
+            # F.normalize semantics: clamp the norm, not add-epsilon
             nrm = g.sqrt(g.reduce_sum(g.mul(t, t), (3,)))
-            return g.div(t, g.add_const(nrm, 1e-6))
+            return g.div(t, g.clip(nrm, 1e-12, 3.0e38))
 
         q, k, v = l2norm(pick(0)), l2norm(pick(1)), pick(2)
         attn = g.matmul(q, g.transpose(k, (0, 1, 3, 2)))  # (1,heads,hd,hd)
@@ -1316,31 +1322,45 @@ def _emit_xcit(g: GraphBuilder, basenet, params, stats, input_hw):
         y = g.reshape(g.transpose(y, (0, 3, 1, 2)), (1, n, dim))
         return g.dense(y, p['proj'], f'{name}.proj')
 
-    # to channels-last tokens
+    def gamma_mul(y, p, leaf, name):
+        return g.mul(y, g.init_tensor(
+            f'{name}.{leaf}', np.asarray(p[leaf], np.float32)))
+
+    # to channels-last tokens, + baked fourier positional map
     x = g.reshape(g.transpose(x, (0, 2, 3, 1)), (1, n, dim))
+    pe = params['pos_embed']['token_projection']
+    pos = (_fourier_grid(h, w, 32, 10000.0).reshape(n, 64)
+           @ np.asarray(pe['kernel'], np.float32).reshape(64, dim)
+           + np.asarray(pe['bias'], np.float32))
+    x = g.add(x, g.init_tensor('basenet.pos_embed',
+                               pos[None].astype(np.float32)))
     for i in range(basenet.depth):
         block = f'block{i}'
         p = params[block]
         name = f'basenet.{block}'
+        # XCA (reference slot norm1 / gamma1)
         y = _emit_ln(g, x, p['norm1'], f'{name}.norm1', axis=2)
-        x = g.add(x, xca(y, p['xca'], f'{name}.xca'))
+        y = xca(y, p['xca'], f'{name}.xca')
+        x = g.add(x, gamma_mul(y, p, 'gamma1', name))
 
-        # LPI: depthwise 3x3 convs need the NCHW 2D layout
-        y = _emit_ln(g, x, p['norm2'], f'{name}.norm2', axis=2)
+        # LPI (slot norm3 / gamma3): depthwise convs need the NCHW layout
+        y = _emit_ln(g, x, p['norm3'], f'{name}.norm3', axis=2)
         y = g.transpose(g.reshape(y, (1, h, w, dim)), (0, 3, 1, 2))
         y = g.conv(y, p['lpi_conv1']['kernel'], f'{name}.lpi_conv1',
                    pads=1, groups=dim, bias=p['lpi_conv1']['bias'])
         y = _emit_gelu(g, y)
+        y = bn(y, block, 'lpi_bn')
         y = g.conv(y, p['lpi_conv2']['kernel'], f'{name}.lpi_conv2',
                    pads=1, groups=dim, bias=p['lpi_conv2']['bias'])
         y = g.reshape(g.transpose(y, (0, 2, 3, 1)), (1, n, dim))
-        x = g.add(x, y)
+        x = g.add(x, gamma_mul(y, p, 'gamma3', name))
 
-        y = _emit_ln(g, x, p['norm3'], f'{name}.norm3', axis=2)
+        # MLP (slot norm2 / gamma2)
+        y = _emit_ln(g, x, p['norm2'], f'{name}.norm2', axis=2)
         y = g.dense(y, p['mlp_fc1'], f'{name}.mlp_fc1')
         y = _emit_gelu(g, y)
         y = g.dense(y, p['mlp_fc2'], f'{name}.mlp_fc2')
-        x = g.add(x, y)
+        x = g.add(x, gamma_mul(y, p, 'gamma2', name))
 
     x = _emit_ln(g, x, params['norm_out'], 'basenet.norm_out', axis=2)
     return g.transpose(g.reshape(x, (1, h, w, dim)), (0, 3, 1, 2)), h, w

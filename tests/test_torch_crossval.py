@@ -114,6 +114,9 @@ def assert_forward_match(model, tmodel, hw, atol, seed=0):
     # window attention + relative bias + patch merging + shift masks +
     # exact-gelu + LN-eps conventions (r4 Missing #4: transformer leg)
     ('swin_t', (81, 81), 5e-4),
+    # cross-covariance attention + fourier pos-embed + LPI bn + LayerScale
+    # gammas + depthwise-kernel layout (r4 Missing #4: xcit leg)
+    ('xcit_small_12', (81, 81), 5e-4),
 ])
 def test_flax_to_torch(basenet_name, hw, atol):
     model = build_flax(basenet_name)
@@ -129,7 +132,7 @@ def test_flax_to_torch(basenet_name, hw, atol):
 
 @pytest.mark.parametrize('basenet_name', ['shufflenetv2k16',
                                           'shufflenetv2k30', 'resnet50',
-                                          'swin_t'])
+                                          'swin_t', 'xcit_small_12'])
 def test_torch_to_flax(basenet_name):
     """The mounted-day direction: a torch state dict converted onto the
     flax tree must execute identically."""

@@ -19,6 +19,7 @@ and kept here for the mounted-day parity run
 
 from __future__ import annotations
 
+import math
 from typing import List, Sequence
 
 import torch
@@ -412,6 +413,140 @@ class Swin(nn.Module):
         return x.permute(0, 3, 1, 2)
 
 
+class PositionalEncodingFourier(nn.Module):
+    """Fourier positional encoding, reference xcit.py naming
+    (``pos_embeder.token_projection``)."""
+
+    def __init__(self, dim: int, hidden_dim: int = 32,
+                 temperature: float = 10000.0):
+        super().__init__()
+        self.token_projection = nn.Conv2d(hidden_dim * 2, dim, 1)
+        self.hidden_dim = hidden_dim
+        self.temperature = temperature
+
+    def forward(self, b: int, h: int, w: int) -> torch.Tensor:
+        scale = 2.0 * math.pi
+        eps = 1e-6
+        ones = torch.ones(1, h, w)
+        y_embed = ones.cumsum(1) / (h + eps) * scale
+        x_embed = ones.cumsum(2) / (w + eps) * scale
+        dim_t = torch.arange(self.hidden_dim, dtype=torch.float32)
+        dim_t = self.temperature ** (2 * (dim_t // 2) / self.hidden_dim)
+        pos_x = x_embed[..., None] / dim_t
+        pos_y = y_embed[..., None] / dim_t
+        pos_x = torch.stack((pos_x[..., 0::2].sin(),
+                             pos_x[..., 1::2].cos()), dim=4).flatten(3)
+        pos_y = torch.stack((pos_y[..., 0::2].sin(),
+                             pos_y[..., 1::2].cos()), dim=4).flatten(3)
+        pos = torch.cat((pos_y, pos_x), dim=3).permute(0, 3, 1, 2)
+        return self.token_projection(pos).expand(b, -1, -1, -1)
+
+
+class XCA(nn.Module):
+    """Cross-covariance attention (channel attention, F.normalize q/k)."""
+
+    def __init__(self, dim: int, num_heads: int):
+        super().__init__()
+        self.num_heads = num_heads
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+        self.temperature = nn.Parameter(torch.ones(num_heads, 1, 1))
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        qkv = self.qkv(x).reshape(b, n, 3, self.num_heads, head_dim)
+        qkv = qkv.permute(2, 0, 3, 1, 4)
+        q, k, v = (t.transpose(-2, -1) for t in qkv)   # (b, heads, d, n)
+        q = nn.functional.normalize(q, dim=-1)
+        k = nn.functional.normalize(k, dim=-1)
+        attn = (q @ k.transpose(-2, -1)) * self.temperature
+        attn = attn.softmax(dim=-1)
+        y = (attn @ v).permute(0, 3, 1, 2).reshape(b, n, c)
+        return self.proj(y)
+
+
+class LPI(nn.Module):
+    """Local patch interaction: dwconv -> gelu -> bn -> dwconv."""
+
+    def __init__(self, dim: int):
+        super().__init__()
+        self.conv1 = nn.Conv2d(dim, dim, 3, padding=1, groups=dim)
+        self.bn = nn.BatchNorm2d(dim)
+        self.conv2 = nn.Conv2d(dim, dim, 3, padding=1, groups=dim)
+
+    def forward(self, x: torch.Tensor, h: int, w: int) -> torch.Tensor:
+        b, n, c = x.shape
+        x = x.permute(0, 2, 1).reshape(b, c, h, w)
+        x = self.conv2(self.bn(nn.functional.gelu(self.conv1(x))))
+        return x.reshape(b, c, n).permute(0, 2, 1)
+
+
+class XCABlock(nn.Module):
+    """XCA -> LPI -> MLP with LayerScale gammas (reference slot naming:
+    norm1 gates attn, norm3 gates local_mp, norm2 gates mlp)."""
+
+    def __init__(self, dim: int, num_heads: int, mlp_ratio: float = 4.0,
+                 eta: float = 1.0):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = XCA(dim, num_heads)
+        self.norm3 = nn.LayerNorm(dim)
+        self.local_mp = LPI(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = nn.ModuleDict({
+            'fc1': nn.Linear(dim, int(dim * mlp_ratio)),
+            'fc2': nn.Linear(int(dim * mlp_ratio), dim),
+        })
+        self.gamma1 = nn.Parameter(eta * torch.ones(dim))
+        self.gamma3 = nn.Parameter(eta * torch.ones(dim))
+        self.gamma2 = nn.Parameter(eta * torch.ones(dim))
+
+    def forward(self, x: torch.Tensor, h: int, w: int) -> torch.Tensor:
+        x = x + self.gamma1 * self.attn(self.norm1(x))
+        x = x + self.gamma3 * self.local_mp(self.norm3(x), h, w)
+        x = x + self.gamma2 * self.mlp['fc2'](
+            nn.functional.gelu(self.mlp['fc1'](self.norm2(x))))
+        return x
+
+
+def _xcit_conv3x3(cin: int, cout: int) -> nn.Sequential:
+    return nn.Sequential(
+        nn.Conv2d(cin, cout, 3, stride=2, padding=1, bias=False),
+        nn.BatchNorm2d(cout))
+
+
+class XCiT(nn.Module):
+    """Stride-16 dense XCiT trunk, reference (facebookresearch) naming;
+    the classification tail (cls_token / cls_attn_blocks) is dropped."""
+
+    def __init__(self, embed_dim: int, depth: int, num_heads: int):
+        super().__init__()
+        d = embed_dim
+        self.patch_embed = nn.ModuleDict({'proj': nn.Sequential(
+            _xcit_conv3x3(3, d // 8), nn.GELU(),
+            _xcit_conv3x3(d // 8, d // 4), nn.GELU(),
+            _xcit_conv3x3(d // 4, d // 2), nn.GELU(),
+            _xcit_conv3x3(d // 2, d),
+        )})
+        self.pos_embeder = PositionalEncodingFourier(d)
+        self.blocks = nn.ModuleList(
+            [XCABlock(d, num_heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(d)
+        self.out_features = d
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        x = self.patch_embed['proj'](x)
+        b, c, h, w = x.shape
+        x = x.flatten(2).transpose(1, 2)                  # (b, n, c)
+        pos = self.pos_embeder(b, h, w).flatten(2).transpose(1, 2)
+        x = x + pos
+        for blk in self.blocks:
+            x = blk(x, h, w)
+        x = self.norm(x)
+        return x.transpose(1, 2).reshape(b, c, h, w)
+
+
 _BASENETS = {
     'shufflenetv2k16': lambda: ShuffleNetV2K(
         (4, 8, 4), (24, 348, 696, 1392, 1392)),
@@ -426,6 +561,8 @@ _BASENETS = {
     'swin_t': lambda: Swin(96, (2, 2, 6, 2), (3, 6, 12, 24)),
     'swin_s': lambda: Swin(96, (2, 2, 18, 2), (3, 6, 12, 24)),
     'swin_b': lambda: Swin(128, (2, 2, 18, 2), (4, 8, 16, 32)),
+    'xcit_small_12': lambda: XCiT(384, 12, 8),
+    'xcit_medium_24': lambda: XCiT(512, 24, 8),
     'resnet50': lambda: ResNet((3, 4, 6, 3)),
     'resnet101': lambda: ResNet((3, 4, 23, 3)),
     'resnet152': lambda: ResNet((3, 8, 36, 3)),
