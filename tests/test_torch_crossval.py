@@ -130,9 +130,13 @@ def test_flax_to_torch(basenet_name, hw, atol):
     assert_forward_match(model, tmodel, hw, atol)
 
 
+# swin_b adds a width variation (embed 128, heads 4/8/16/32) on the
+# mounted-day direction only — width-dependent converter/window bugs
+# would hide behind the swin_t-only rows
 @pytest.mark.parametrize('basenet_name', ['shufflenetv2k16',
                                           'shufflenetv2k30', 'resnet50',
-                                          'swin_t', 'xcit_small_12'])
+                                          'swin_t', 'swin_b',
+                                          'xcit_small_12'])
 def test_torch_to_flax(basenet_name):
     """The mounted-day direction: a torch state dict converted onto the
     flax tree must execute identically."""
